@@ -1,0 +1,245 @@
+"""Attention for TPU.
+
+Capability parity with reference models/transformer.py:328-553 `Attention`:
+fused/split QKV, GQA (kv-head repeat), qk-norm (l2 / ln / dyt), partial RoPE
+applied in fp32, causal + sliding-window masking, differential attention,
+feat_scale DC/HF output modulation.
+
+Backend dispatch: a Pallas flash-attention kernel (ops/kernels/flash_attention.py)
+for long self-attention sequences, XLA dot-product attention otherwise. Both are
+mask-mod parameterized so sliding windows ([left, right] like flash-attn's
+window_size) and causal are the same code path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Literal, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .embeddings import apply_rotary_pos_emb
+from .norms import DynamicTanh
+
+
+def _build_bias(
+    q_len: int,
+    k_len: int,
+    causal: bool,
+    window: Optional[Tuple[int, int]],
+    mask: Optional[jax.Array],
+    dtype,
+) -> Optional[jax.Array]:
+    """Additive attention bias encoding causal/sliding-window/key-padding masks.
+
+    window = (left, right): key j visible from query i iff
+    i - left <= j <= i + right (flash-attn window_size convention).
+    """
+    neg = jnp.finfo(jnp.float32).min
+    bias = None
+    if causal or window is not None:
+        qi = jnp.arange(q_len)[:, None]
+        kj = jnp.arange(k_len)[None, :]
+        # align ends (matches flash-attn when q_len != k_len)
+        offset = k_len - q_len
+        allowed = jnp.ones((q_len, k_len), dtype=bool)
+        if causal:
+            allowed &= kj <= qi + offset
+        if window is not None:
+            left, right = window
+            if left >= 0:
+                allowed &= kj >= qi + offset - left
+            if right >= 0:
+                allowed &= kj <= qi + offset + right
+        bias = jnp.where(allowed, 0.0, neg)[None, None]  # [1, 1, q, k]
+    if mask is not None:
+        # mask: [b, k_len] True = attend
+        key_bias = jnp.where(mask[:, None, None, :], 0.0, neg)
+        bias = key_bias if bias is None else bias + key_bias
+    return bias.astype(jnp.float32) if bias is not None else None
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    window: Optional[Tuple[int, int]] = None,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """q,k,v: [b, h, n, d]. Softmax in fp32. Returns [b, h, n, d] in q.dtype."""
+    *_, q_len, d = q.shape
+    k_len = k.shape[-2]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    bias = _build_bias(q_len, k_len, causal, window, mask, logits.dtype)
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def attention_core(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    window: Optional[Tuple[int, int]] = None,
+    mask: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Backend dispatch point. q,k,v: [b, h, n, d]."""
+    if use_pallas is None:
+        use_pallas = _should_use_pallas(q, k, mask)
+    if use_pallas:
+        try:
+            from .kernels.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, causal=causal, window=window)
+        except Exception:
+            pass
+    return dot_product_attention(q, k, v, causal=causal, window=window, mask=mask)
+
+
+def _should_use_pallas(q, k, mask) -> bool:
+    if mask is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    # Flash pays off for long self-attention; small/cross attention is fine in XLA.
+    return q.shape[-2] >= 512 and q.shape[-2] == k.shape[-2] and q.shape[-1] in (64, 128)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with GQA, qk-norm, rotary, differential attention."""
+
+    dim: int
+    dim_heads: int = 64
+    dim_context: Optional[int] = None
+    causal: bool = False
+    zero_init_output: bool = True
+    qk_norm: Literal["l2", "ln", "dyt", "none"] = "none"
+    differential: bool = False
+    feat_scale: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        rotary_pos_emb: Optional[jax.Array] = None,
+        causal: Optional[bool] = None,
+        sliding_window: Optional[Tuple[int, int]] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        dim = self.dim
+        dim_kv = self.dim_context if self.dim_context is not None else dim
+        h = dim // self.dim_heads
+        kv_h = dim_kv // self.dim_heads
+        has_context = context is not None
+        kv_input = context if has_context else x
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, name=name, dtype=x.dtype, param_dtype=jnp.float32
+        )
+
+        n_q = 2 if self.differential else 1
+        n_kv = 3 if self.differential else 2
+        if self.dim_context is not None:
+            q_proj = dense(dim * n_q, "to_q")(x)
+            kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)
+            qs = jnp.split(q_proj, n_q, axis=-1)
+            kvs = jnp.split(kv_proj, n_kv, axis=-1)
+            if self.differential:
+                q, q_diff = qs
+                k, k_diff, v = kvs
+            else:
+                (q,), (k, v) = qs, kvs
+                q_diff = k_diff = None
+        else:
+            qkv = dense(dim * (5 if self.differential else 3), "to_qkv")(x)
+            parts = jnp.split(qkv, 5 if self.differential else 3, axis=-1)
+            if self.differential:
+                q, k, v, q_diff, k_diff = parts
+            else:
+                q, k, v = parts
+                q_diff = k_diff = None
+
+        def split_heads(t, nh):
+            b, n, _ = t.shape
+            return t.reshape(b, n, nh, self.dim_heads).transpose(0, 2, 1, 3)
+
+        q = split_heads(q, h)
+        k = split_heads(k, kv_h)
+        v = split_heads(v, kv_h)
+        if self.differential:
+            q_diff = split_heads(q_diff, h)
+            k_diff = split_heads(k_diff, kv_h)
+
+        if self.qk_norm == "l2":
+            q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
+        elif self.qk_norm == "ln":
+            q_norm = nn.LayerNorm(epsilon=1e-6, name="q_norm", param_dtype=jnp.float32)
+            k_norm = nn.LayerNorm(epsilon=1e-6, name="k_norm", param_dtype=jnp.float32)
+            q = q_norm(q.astype(jnp.float32)).astype(q.dtype)
+            k = k_norm(k.astype(jnp.float32)).astype(k.dtype)
+        elif self.qk_norm == "dyt":
+            q = DynamicTanh(self.dim_heads, name="q_norm")(q)
+            k = DynamicTanh(self.dim_heads, name="k_norm")(k)
+
+        if rotary_pos_emb is not None:
+            # length-ratio frequency scaling for cross-attn (transformer.py:496-503)
+            q_len, k_len = q.shape[-2], k.shape[-2]
+            if q_len >= k_len:
+                q_freqs, k_freqs = rotary_pos_emb, rotary_pos_emb * (q_len / k_len)
+            else:
+                q_freqs, k_freqs = rotary_pos_emb * (k_len / q_len), rotary_pos_emb
+            q = apply_rotary_pos_emb(q, q_freqs)
+            k = apply_rotary_pos_emb(k, k_freqs)
+            if self.differential:
+                q_diff = apply_rotary_pos_emb(q_diff, q_freqs)
+                k_diff = apply_rotary_pos_emb(k_diff, k_freqs)
+
+        if h != kv_h:
+            rep = h // kv_h
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+            if self.differential:
+                k_diff = jnp.repeat(k_diff, rep, axis=1)
+
+        is_causal = self.causal if causal is None else causal
+        if q.shape[-2] == 1:
+            is_causal = False
+
+        out = attention_core(q, k, v, causal=is_causal, window=sliding_window, mask=mask)
+        if self.differential:
+            out_diff = attention_core(
+                q_diff, k_diff, v, causal=is_causal, window=sliding_window, mask=mask
+            )
+            out = out - out_diff
+
+        b, _, n, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
+        out_proj = nn.Dense(
+            dim,
+            use_bias=False,
+            name="to_out",
+            dtype=x.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros
+            if self.zero_init_output
+            else nn.initializers.lecun_normal(),
+        )
+        out = out_proj(out)
+
+        if self.feat_scale:
+            lambda_dc = self.param("lambda_dc", nn.initializers.zeros, (dim,), jnp.float32)
+            lambda_hf = self.param("lambda_hf", nn.initializers.zeros, (dim,), jnp.float32)
+            out_dc = jnp.mean(out, axis=-2, keepdims=True)
+            out_hf = out - out_dc
+            out = out + lambda_dc.astype(out.dtype) * out_dc + lambda_hf.astype(out.dtype) * out_hf
+
+        return out

@@ -1,0 +1,89 @@
+"""Normalization layers (last-axis features).
+
+Mirrors reference stable_audio_tools/models/transformer.py:177-250 and
+models/blocks.py:275-289 semantics: bias-less LayerNorm with optional
+fixed scale and forced-fp32 compute, RMSNorm, DynamicTanh, LayerScale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def layer_norm(x: jax.Array, gamma: jax.Array, beta: Optional[jax.Array], eps: float) -> jax.Array:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps) * gamma
+    if beta is not None:
+        out = out + beta
+    return out
+
+
+class LayerNorm(nn.Module):
+    """Bias-less LayerNorm; fp32 compute for stability, cast back to input dtype."""
+
+    dim: int
+    bias: bool = False
+    fix_scale: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.fix_scale:
+            gamma = jnp.ones((self.dim,), jnp.float32)
+        else:
+            gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        beta = None
+        if self.bias:
+            beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
+        out = layer_norm(x.astype(jnp.float32), gamma, beta, self.eps)
+        return out.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    fix_scale: bool = False
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.fix_scale:
+            scale = jnp.ones((self.dim,), jnp.float32)
+        else:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps)
+        return (normed * scale).astype(x.dtype)
+
+
+class DynamicTanh(nn.Module):
+    """DyT norm-replacement: gamma * tanh(alpha * x) + beta."""
+
+    dim: int
+    init_alpha: float = 10.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param(
+            "alpha", nn.initializers.constant(self.init_alpha), (1,), jnp.float32
+        )
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
+        out = jnp.tanh(alpha.astype(x.dtype) * x)
+        return gamma.astype(x.dtype) * out + beta.astype(x.dtype)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_val: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param(
+            "scale", nn.initializers.constant(self.init_val), (self.dim,), jnp.float32
+        )
+        return x * scale.astype(x.dtype)

@@ -1,0 +1,113 @@
+"""Golden tests for conv ops vs torch (CPU) — torch conv semantics parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from stable_audio_tools_tpu.ops.conv import (
+    conv1d,
+    conv_transpose1d,
+    WNConv1d,
+    WNConvTranspose1d,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize("stride,padding,dilation,k", [
+    (1, 0, 1, 7),
+    (1, 3, 1, 7),
+    (2, 1, 1, 4),
+    (4, 2, 1, 8),
+    (1, 9, 3, 7),
+    (1, 27, 9, 7),
+])
+def test_conv1d_matches_torch(stride, padding, dilation, k):
+    rng = np.random.RandomState(0)
+    B, T, Cin, Cout = 2, 64, 5, 9
+    x = rng.randn(B, T, Cin).astype(np.float32)
+    w = rng.randn(Cout, Cin, k).astype(np.float32)  # torch layout OIK
+    b = rng.randn(Cout).astype(np.float32)
+
+    ref = torch.nn.functional.conv1d(
+        torch.from_numpy(x.transpose(0, 2, 1)),
+        torch.from_numpy(w),
+        torch.from_numpy(b),
+        stride=stride,
+        padding=padding,
+        dilation=dilation,
+    ).numpy().transpose(0, 2, 1)
+
+    w_jax = jnp.asarray(w.transpose(2, 1, 0))  # OIK -> KIO (WIO)
+    out = conv1d(jnp.asarray(x), w_jax, jnp.asarray(b), stride=stride,
+                 padding=padding, dilation=dilation)
+    np.testing.assert_allclose(_np(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,padding,k", [
+    (1, 0, 3),
+    (2, 1, 4),
+    (4, 2, 8),
+    (8, 4, 16),
+])
+def test_conv_transpose1d_matches_torch(stride, padding, k):
+    rng = np.random.RandomState(1)
+    B, T, Cin, Cout = 2, 32, 6, 4
+    x = rng.randn(B, T, Cin).astype(np.float32)
+    w = rng.randn(Cin, Cout, k).astype(np.float32)  # torch layout IOK
+    b = rng.randn(Cout).astype(np.float32)
+
+    ref = torch.nn.functional.conv_transpose1d(
+        torch.from_numpy(x.transpose(0, 2, 1)),
+        torch.from_numpy(w),
+        torch.from_numpy(b),
+        stride=stride,
+        padding=padding,
+    ).numpy().transpose(0, 2, 1)
+
+    w_jax = jnp.asarray(w.transpose(2, 0, 1))  # IOK -> KIO
+    out = conv_transpose1d(jnp.asarray(x), w_jax, jnp.asarray(b), stride=stride,
+                           padding=padding)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(_np(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wnconv1d_weight_norm_semantics():
+    """w = g * v/||v|| with norm over (k, in) per out channel, like torch."""
+    rng = jax.random.PRNGKey(0)
+    m = WNConv1d(features=8, kernel_size=7, padding=3)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 32, 4).astype(np.float32))
+    params = m.init(rng, x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 32, 8)
+
+    # At init g == ||v||, so effective kernel == v
+    v = params["params"]["v"]
+    g = params["params"]["g"]
+    np.testing.assert_allclose(
+        _np(g), _np(jnp.sqrt(jnp.sum(v ** 2, axis=(0, 1)))), rtol=1e-5
+    )
+
+    # Scaling g by 2 scales output (bias removed) by 2
+    p2 = jax.tree_util.tree_map(lambda a: a, params)
+    p2 = {"params": dict(p2["params"])}
+    p2["params"]["g"] = g * 2.0
+    p2["params"]["bias"] = jnp.zeros_like(params["params"]["bias"])
+    p1 = {"params": dict(params["params"])}
+    p1["params"]["bias"] = jnp.zeros_like(params["params"]["bias"])
+    out1 = m.apply(p1, x)
+    out2 = m.apply(p2, x)
+    np.testing.assert_allclose(_np(out2), _np(out1) * 2, rtol=1e-4, atol=1e-5)
+
+
+def test_wnconvtranspose1d_shapes():
+    m = WNConvTranspose1d(features=4, kernel_size=8, stride=4, padding=2)
+    x = jnp.zeros((2, 16, 6))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    # torch: (L-1)*s - 2p + k = 15*4 - 4 + 8 = 64
+    assert out.shape == (2, 64, 4)
