@@ -1,0 +1,245 @@
+"""Config-driven factories — the JSON model config is the public API.
+
+Mirrors reference stable_audio_tools/models/factory.py: the same JSON schema
+(model_type, pretransform/bottleneck/encoder/decoder type+config sub-dicts)
+builds the equivalent flax modules. Unsupported torch-specific kwargs
+(kmeans_init etc.) are accepted and ignored so reference configs run as-is.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+from flax import linen as nn
+
+
+def _filter_kwargs(cls, cfg: Dict[str, Any], renames: Dict[str, str] = {}) -> Dict[str, Any]:
+    """Keep only kwargs the flax dataclass accepts; apply renames."""
+    cfg = {renames.get(k, k): v for k, v in cfg.items()}
+    fields = {f.name for f in cls.__dataclass_fields__.values()} if hasattr(
+        cls, "__dataclass_fields__"
+    ) else set()
+    out = {k: v for k, v in cfg.items() if k in fields}
+    # lists -> tuples for hashable flax fields
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in out.items()}
+
+
+def create_model_from_config(model_config: Dict[str, Any]):
+    model_type = model_config.get("model_type", None)
+    assert model_type is not None, "model_type must be specified in model config"
+
+    if model_type == "autoencoder":
+        from .autoencoders import AudioAutoencoder
+
+        return create_autoencoder_from_config(model_config)
+    elif model_type == "diffusion_uncond":
+        from .diffusion import create_diffusion_uncond_from_config
+
+        return create_diffusion_uncond_from_config(model_config)
+    elif model_type in ("diffusion_cond", "diffusion_cond_inpaint"):
+        from .diffusion import create_diffusion_cond_from_config
+
+        return create_diffusion_cond_from_config(model_config)
+    elif model_type == "diffusion_autoencoder":
+        from .diffusion import create_diffAE_from_config
+
+        return create_diffAE_from_config(model_config)
+    elif model_type == "lm":
+        from .lm import create_audio_lm_from_config
+
+        return create_audio_lm_from_config(model_config)
+    else:
+        raise NotImplementedError(f"Unknown model type: {model_type}")
+
+
+def create_model_from_config_path(model_config_path: str):
+    with open(model_config_path) as f:
+        return create_model_from_config(json.load(f))
+
+
+def create_encoder_from_config(encoder_config: Dict[str, Any]):
+    from .autoencoders import OobleckEncoder, TAAEEncoder
+    from .dac import DACEncoder
+    from .seanet import SEANetEncoder
+
+    enc_type = encoder_config.get("type", None)
+    assert enc_type is not None, "Encoder type must be specified"
+    cfg = encoder_config.get("config", {})
+    if enc_type == "oobleck":
+        return OobleckEncoder(
+            **_filter_kwargs(OobleckEncoder, cfg, {"antialias_activation": "antialias"})
+        )
+    elif enc_type == "taae":
+        return TAAEEncoder(**_filter_kwargs(TAAEEncoder, cfg))
+    elif enc_type == "dac":
+        return DACEncoder(**_filter_kwargs(DACEncoder, cfg))
+    elif enc_type == "seanet":
+        cfg = dict(cfg)
+        # SEANet encoder expects strides reversed (reference autoencoders.py:795-800)
+        cfg["ratios"] = list(reversed(cfg.get("ratios", [2, 2, 2, 2, 2])))
+        return SEANetEncoder(**_filter_kwargs(SEANetEncoder, cfg))
+    elif enc_type == "local_attn":
+        from .local_attention import TransformerEncoder1D
+
+        return TransformerEncoder1D(**_filter_kwargs(TransformerEncoder1D, cfg))
+    else:
+        raise ValueError(f"Unknown encoder type {enc_type}")
+
+
+def create_decoder_from_config(decoder_config: Dict[str, Any]):
+    from .autoencoders import OobleckDecoder, TAAEDecoder
+    from .dac import DACDecoder
+    from .seanet import SEANetDecoder
+
+    dec_type = decoder_config.get("type", None)
+    assert dec_type is not None, "Decoder type must be specified"
+    cfg = decoder_config.get("config", {})
+    if dec_type == "oobleck":
+        return OobleckDecoder(
+            **_filter_kwargs(OobleckDecoder, cfg, {"antialias_activation": "antialias"})
+        )
+    elif dec_type == "taae":
+        return TAAEDecoder(**_filter_kwargs(TAAEDecoder, cfg))
+    elif dec_type == "dac":
+        return DACDecoder(**_filter_kwargs(DACDecoder, cfg))
+    elif dec_type == "seanet":
+        return SEANetDecoder(**_filter_kwargs(SEANetDecoder, cfg))
+    elif dec_type == "local_attn":
+        from .local_attention import TransformerDecoder1D
+
+        return TransformerDecoder1D(**_filter_kwargs(TransformerDecoder1D, cfg))
+    else:
+        raise ValueError(f"Unknown decoder type {dec_type}")
+
+
+def create_bottleneck_from_config(bottleneck_config: Dict[str, Any]):
+    from . import bottleneck as B
+
+    b_type = bottleneck_config.get("type", None)
+    assert b_type is not None, "type must be specified in bottleneck config"
+    cfg = bottleneck_config.get("config", {})
+
+    if b_type == "tanh":
+        return B.TanhBottleneck(**_filter_kwargs(B.TanhBottleneck, cfg))
+    elif b_type == "vae":
+        return B.VAEBottleneck()
+    elif b_type == "rvq":
+        return B.RVQBottleneck(**_filter_kwargs(B.RVQBottleneck, cfg))
+    elif b_type == "rvq_vae":
+        return B.RVQVAEBottleneck(**_filter_kwargs(B.RVQVAEBottleneck, cfg))
+    elif b_type == "dac_rvq":
+        return B.DACRVQBottleneck(**_filter_kwargs(B.DACRVQBottleneck, cfg))
+    elif b_type == "dac_rvq_vae":
+        return B.DACRVQVAEBottleneck(**_filter_kwargs(B.DACRVQVAEBottleneck, cfg))
+    elif b_type == "l2_norm":
+        return B.L2Bottleneck()
+    elif b_type == "wasserstein":
+        return B.WassersteinBottleneck(**_filter_kwargs(B.WassersteinBottleneck, cfg))
+    elif b_type == "fsq":
+        return B.FSQBottleneck(**_filter_kwargs(B.FSQBottleneck, cfg))
+    elif b_type == "dithered_fsq":
+        return B.DitheredFSQBottleneck(**_filter_kwargs(B.DitheredFSQBottleneck, cfg))
+    elif b_type == "softnorm":
+        return B.SoftNormBottleneck(**_filter_kwargs(B.SoftNormBottleneck, cfg))
+    else:
+        raise NotImplementedError(f"Unknown bottleneck type: {b_type}")
+
+
+def create_pretransform_from_config(pretransform_config: Dict[str, Any], sample_rate: int):
+    from . import pretransforms as P
+
+    p_type = pretransform_config.get("type", None)
+    assert p_type is not None, "type must be specified in pretransform config"
+    enable_grad = pretransform_config.get("enable_grad", False)
+
+    if p_type == "autoencoder":
+        autoencoder_config = {
+            "sample_rate": sample_rate,
+            "model": pretransform_config["config"],
+        }
+        autoencoder = create_autoencoder_from_config(autoencoder_config)
+        return P.AutoencoderPretransform(
+            model=autoencoder,
+            scale=pretransform_config.get("scale", 1.0),
+            model_half=pretransform_config.get("model_half", False),
+            chunked=pretransform_config.get("chunked", False),
+            enable_grad=enable_grad,
+            io_channels=autoencoder.io_channels,
+            is_discrete=autoencoder.is_discrete,
+            encoded_channels=autoencoder.latent_dim,
+            downsampling_ratio=autoencoder.downsampling_ratio,
+        )
+    elif p_type == "wavelet":
+        cfg = pretransform_config["config"]
+        return P.WaveletPretransform(
+            channels=cfg["channels"],
+            levels=cfg["levels"],
+            wavelet=cfg["wavelet"],
+            enable_grad=enable_grad,
+            io_channels=cfg["channels"],
+            encoded_channels=cfg["channels"] * (2 ** cfg["levels"]),
+            downsampling_ratio=2 ** cfg["levels"],
+        )
+    elif p_type == "pqmf":
+        cfg = pretransform_config["config"]
+        num_bands = cfg.get("num_bands", 16)
+        return P.PQMFPretransform(
+            **_filter_kwargs(P.PQMFPretransform, cfg),
+            enable_grad=enable_grad,
+            downsampling_ratio=num_bands,
+        )
+    elif p_type == "patched":
+        cfg = pretransform_config["config"]
+        patch_size = cfg.get("patch_size", 1)
+        io_channels = cfg.get("io_channels", 2)
+        return P.PatchedPretransform(
+            patch_size=patch_size,
+            enable_grad=enable_grad,
+            io_channels=io_channels,
+            encoded_channels=io_channels * patch_size,
+            downsampling_ratio=patch_size,
+        )
+    else:
+        raise NotImplementedError(f"Unknown pretransform type: {p_type}")
+
+
+def create_autoencoder_from_config(config: Dict[str, Any]):
+    from .autoencoders import AudioAutoencoder
+
+    ae_config = config["model"]
+    encoder = create_encoder_from_config(ae_config["encoder"])
+    decoder = create_decoder_from_config(ae_config["decoder"])
+
+    bottleneck_cfg = ae_config.get("bottleneck", None)
+    bottleneck = create_bottleneck_from_config(bottleneck_cfg) if bottleneck_cfg else None
+
+    latent_dim = ae_config.get("latent_dim", None)
+    assert latent_dim is not None, "latent_dim must be specified in model config"
+    downsampling_ratio = ae_config.get("downsampling_ratio", None)
+    assert downsampling_ratio is not None, "downsampling_ratio must be specified in model config"
+    io_channels = ae_config.get("io_channels", None)
+    assert io_channels is not None, "io_channels must be specified in model config"
+    sample_rate = config.get("sample_rate", None)
+    assert sample_rate is not None, "sample_rate must be specified in model config"
+
+    pretransform_cfg = ae_config.get("pretransform", None)
+    pretransform = (
+        create_pretransform_from_config(pretransform_cfg, sample_rate)
+        if pretransform_cfg
+        else None
+    )
+
+    return AudioAutoencoder(
+        encoder=encoder,
+        decoder=decoder,
+        latent_dim=latent_dim,
+        downsampling_ratio=downsampling_ratio,
+        sample_rate=sample_rate,
+        io_channels=io_channels,
+        bottleneck=bottleneck,
+        pretransform=pretransform,
+        in_channels=ae_config.get("in_channels", None),
+        out_channels=ae_config.get("out_channels", None),
+        soft_clip=ae_config.get("soft_clip", False),
+    )
