@@ -1,0 +1,320 @@
+"""Checkpoint I/O: native (orbax/msgpack) + PyTorch safetensors importer.
+
+Capability parity with reference stable_audio_tools/models/utils.py:
+load_ckpt_state_dict (:23, safetensors or torch pickle), shape-checked
+partial load copy_state_dict (:6); plus the torch→JAX conversion layer
+(SURVEY.md §5.4): conv-weight layout flips, weight-norm g/v recombination,
+linear transposes — so reference PyTorch checkpoints load bit-comparably.
+
+Native checkpoints are flax msgpack for single-host and orbax for sharded
+pytrees (async, atomic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# loading raw state dicts
+# ---------------------------------------------------------------------------
+
+
+def load_ckpt_state_dict(ckpt_path: str) -> tp.Dict[str, np.ndarray]:
+    """safetensors or torch checkpoint → {name: np.ndarray} (fp32)."""
+    if ckpt_path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        try:
+            return load_file(ckpt_path)
+        except Exception:
+            # may contain non-numpy dtypes (bf16): go through torch
+            from safetensors.torch import load_file as load_torch
+
+            sd = load_torch(ckpt_path)
+            return {k: v.float().numpy() for k, v in sd.items()}
+    else:
+        import torch
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return {
+            k: (v.float().numpy() if hasattr(v, "numpy") else np.asarray(v))
+            for k, v in sd.items()
+        }
+
+
+def copy_state_dict(params, updates: tp.Dict[str, np.ndarray]):
+    """Shape-tolerant partial update of a flat {path: array} param mapping."""
+    flat = flatten_params(params)
+    loaded, skipped = 0, []
+    for k, v in updates.items():
+        if k in flat and flat[k].shape == v.shape:
+            flat[k] = jnp.asarray(v)
+            loaded += 1
+        else:
+            skipped.append(k)
+    return unflatten_params(flat), loaded, skipped
+
+
+# ---------------------------------------------------------------------------
+# flat-path helpers
+# ---------------------------------------------------------------------------
+
+
+def flatten_params(tree, sep: str = ".") -> tp.Dict[str, tp.Any]:
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}{sep}{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = node
+
+    walk("", tree)
+    return flat
+
+
+def unflatten_params(flat: tp.Dict[str, tp.Any], sep: str = ".") -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# torch → jax tensor conversions
+# ---------------------------------------------------------------------------
+
+
+def torch_conv1d_weight(w: np.ndarray) -> np.ndarray:
+    """torch [out, in, k] → WIO [k, in, out]."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def torch_conv_transpose1d_weight(w: np.ndarray) -> np.ndarray:
+    """torch [in, out, k] → our KIO [k, in, out]."""
+    return np.transpose(w, (2, 0, 1))
+
+
+def torch_conv2d_weight(w: np.ndarray) -> np.ndarray:
+    """torch [out, in, kh, kw] → HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def torch_linear_weight(w: np.ndarray) -> np.ndarray:
+    """torch [out, in] → kernel [in, out]."""
+    return np.transpose(w)
+
+
+def convert_wn_conv1d(sd: tp.Dict[str, np.ndarray], prefix: str) -> tp.Dict[str, np.ndarray]:
+    """torch weight_norm Conv1d (weight_g [out,1,1], weight_v [out,in,k]) →
+    {v: [k,in,out], g: [out], bias?}."""
+    out = {}
+    if f"{prefix}.weight_g" in sd:
+        g = sd[f"{prefix}.weight_g"].reshape(-1)
+        v = sd[f"{prefix}.weight_v"]
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        g = sd[f"{prefix}.parametrizations.weight.original0"].reshape(-1)
+        v = sd[f"{prefix}.parametrizations.weight.original1"]
+    else:
+        # plain conv: fabricate weight-norm decomposition (g = ||w||)
+        w = sd[f"{prefix}.weight"]
+        norms = np.sqrt((w ** 2).sum(axis=(1, 2)))
+        g, v = norms, w
+    out["g"] = g.astype(np.float32)
+    out["v"] = torch_conv1d_weight(v).astype(np.float32)
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].astype(np.float32)
+    return out
+
+
+def convert_wn_conv_transpose1d(sd, prefix):
+    """torch weight_norm ConvTranspose1d: g is per *input* channel [in,1,1]."""
+    out = {}
+    if f"{prefix}.weight_g" in sd:
+        g = sd[f"{prefix}.weight_g"].reshape(-1)
+        v = sd[f"{prefix}.weight_v"]
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        g = sd[f"{prefix}.parametrizations.weight.original0"].reshape(-1)
+        v = sd[f"{prefix}.parametrizations.weight.original1"]
+    else:
+        w = sd[f"{prefix}.weight"]
+        norms = np.sqrt((w ** 2).sum(axis=(1, 2)))
+        g, v = norms, w
+    out["g"] = g.astype(np.float32)
+    out["v"] = torch_conv_transpose1d_weight(v).astype(np.float32)
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].astype(np.float32)
+    return out
+
+
+def convert_snake(sd, prefix):
+    return {
+        "alpha": sd[f"{prefix}.alpha"].astype(np.float32),
+        "beta": sd[f"{prefix}.beta"].astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Oobleck autoencoder importer (reference OobleckEncoder/Decoder layouts)
+# ---------------------------------------------------------------------------
+
+
+def import_oobleck_encoder(sd, prefix: str, n_blocks: int, use_snake: bool) -> dict:
+    """torch OobleckEncoder state dict → flax params for our OobleckEncoder.
+
+    torch Sequential layout (reference autoencoders.py:285-318):
+      layers.0 = conv_in; layers.1..n = EncoderBlock; layers.n+1 = act;
+      layers.n+2 = conv_out. EncoderBlock.layers = [RU, RU, RU, act, down];
+      ResidualUnit.layers = [act, conv k7, act, conv k1].
+    """
+    p = {}
+    p["conv_in"] = convert_wn_conv1d(sd, f"{prefix}layers.0")
+
+    def conv_block(src, dst, down_conv_name="down"):
+        blk = {}
+        for j in range(3):
+            ru = f"{src}.layers.{j}.layers"
+            unit = {
+                "conv1": convert_wn_conv1d(sd, f"{ru}.1"),
+                "conv2": convert_wn_conv1d(sd, f"{ru}.3"),
+            }
+            if use_snake:
+                unit["SnakeBeta_0"] = convert_snake(sd, f"{ru}.0")
+                unit["SnakeBeta_1"] = convert_snake(sd, f"{ru}.2")
+            blk[f"res_{j}"] = unit
+        if use_snake:
+            blk["SnakeBeta_0"] = convert_snake(sd, f"{src}.layers.3")
+        blk[down_conv_name] = convert_wn_conv1d(sd, f"{src}.layers.4")
+        return blk
+
+    for i in range(n_blocks):
+        p[f"block_{i}"] = conv_block(f"{prefix}layers.{i + 1}", f"block_{i}")
+    if use_snake:
+        p["SnakeBeta_0"] = convert_snake(sd, f"{prefix}layers.{n_blocks + 1}")
+    p["conv_out"] = convert_wn_conv1d(sd, f"{prefix}layers.{n_blocks + 2}")
+    return p
+
+
+def import_oobleck_decoder(sd, prefix: str, n_blocks: int, use_snake: bool,
+                           use_nearest_upsample: bool = False) -> dict:
+    """torch OobleckDecoder layout (reference :320-355):
+      layers.0 = conv_in; layers.1..n = DecoderBlock; layers.n+1 = act;
+      layers.n+2 = conv_out (no bias). DecoderBlock.layers =
+      [act, upsample, RU, RU, RU].
+    """
+    p = {}
+    p["conv_in"] = convert_wn_conv1d(sd, f"{prefix}layers.0")
+    for i in range(n_blocks):
+        src = f"{prefix}layers.{i + 1}"
+        blk = {}
+        if use_snake:
+            blk["SnakeBeta_0"] = convert_snake(sd, f"{src}.layers.0")
+        if use_nearest_upsample:
+            blk["up"] = convert_wn_conv1d(sd, f"{src}.layers.1.1")
+        else:
+            blk["up"] = convert_wn_conv_transpose1d(sd, f"{src}.layers.1")
+        for j in range(3):
+            ru = f"{src}.layers.{j + 2}.layers"
+            unit = {
+                "conv1": convert_wn_conv1d(sd, f"{ru}.1"),
+                "conv2": convert_wn_conv1d(sd, f"{ru}.3"),
+            }
+            if use_snake:
+                unit["SnakeBeta_0"] = convert_snake(sd, f"{ru}.0")
+                unit["SnakeBeta_1"] = convert_snake(sd, f"{ru}.2")
+            blk[f"res_{j}"] = unit
+        p[f"block_{i}"] = blk
+    if use_snake:
+        p["SnakeBeta_0"] = convert_snake(sd, f"{prefix}layers.{n_blocks + 1}")
+    p["conv_out"] = convert_wn_conv1d(sd, f"{prefix}layers.{n_blocks + 2}")
+    return p
+
+
+def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
+    """Reference AudioAutoencoder torch state dict → our variables dict.
+
+    Supports Oobleck encoder/decoder (+VAE/tanh bottlenecks, which are
+    parameter-free). Returns {'params': {...}} ready for model.apply.
+    """
+    enc = model.encoder
+    dec = model.decoder
+    params = {}
+    n_enc = len(enc.c_mults)
+    n_dec = len(dec.c_mults)
+    params["encoder"] = import_oobleck_encoder(sd, "encoder.", n_enc, enc.use_snake)
+    params["decoder"] = import_oobleck_decoder(
+        sd, "decoder.", n_dec, dec.use_snake,
+        getattr(dec, "use_nearest_upsample", False),
+    )
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+# ---------------------------------------------------------------------------
+# native checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state, metadata: tp.Optional[dict] = None):
+    """Atomic msgpack checkpoint of an arbitrary pytree state."""
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    os.replace(tmp, path)
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f)
+
+
+def load_checkpoint(path: str, target):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def save_checkpoint_orbax(path: str, state):
+    """Sharded/async checkpoint via orbax (multi-host safe)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_checkpoint_orbax(path: str, target=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(os.path.abspath(path), item=target)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def export_safetensors(path: str, params, metadata: tp.Optional[dict] = None):
+    """Export flax params to safetensors (flat dot-joined names)."""
+    from safetensors.numpy import save_file
+
+    flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+    save_file(flat, path, metadata={k: str(v) for k, v in (metadata or {}).items()})
+
+
+def load_safetensors_params(path: str) -> dict:
+    from safetensors.numpy import load_file
+
+    return unflatten_params({k: jnp.asarray(v) for k, v in load_file(path).items()})

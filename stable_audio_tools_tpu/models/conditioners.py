@@ -1,0 +1,597 @@
+"""Conditioners: metadata → conditioning tensors.
+
+Capability parity with reference stable_audio_tools/models/conditioners.py:
+Int/Number/List/TokenizerLUT/Phoneme/T5/CLAP-text/CLAP-audio/Pretransform/
+SourceMix conditioners routed by a MultiConditioner with default_keys and
+pre_encoded_keys.
+
+TPU-split design: the reference runs everything inside one torch module; here
+each conditioner is split into
+  - `prepare(values) -> numpy arrays` — host-side (tokenization, float
+    casting, frozen text-tower forward), no jit;
+  - a flax module part — the *learnable* embedders/projections, which live in
+    the model's param tree and run inside the jitted step.
+`MultiConditioner` orchestrates both halves and matches the reference call
+signature `conditioner(batch_metadata) -> {key: (tensor, mask)}`.
+"""
+
+from __future__ import annotations
+
+import logging
+import string
+import typing as tp
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+logger = logging.getLogger(__name__)
+
+
+class ProjOut(nn.Module):
+    """Optional linear proj matching reference Conditioner.proj_out."""
+
+    dim: int
+    output_dim: int
+    project_out: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.dim != self.output_dim or self.project_out:
+            return nn.Dense(self.output_dim, name="proj_out", param_dtype=jnp.float32)(x)
+        return x
+
+
+class IntConditionerModule(nn.Module):
+    output_dim: int
+    min_val: int = 0
+    max_val: int = 512
+
+    @nn.compact
+    def __call__(self, ints):
+        """ints: [B] int32 → ([B, 1, D], [B, 1])."""
+        n = self.max_val - self.min_val + 1
+        emb = nn.Embed(n, self.output_dim, name="int_embedder", param_dtype=jnp.float32)
+        ints = jnp.clip(ints, self.min_val, self.max_val) - self.min_val
+        out = emb(ints)[:, None, :]
+        return out, jnp.ones((out.shape[0], 1), dtype=bool)
+
+
+class NumberEmbedder(nn.Module):
+    """adp.py NumberEmbedder: learned-Fourier positional embed + Linear."""
+
+    features: int
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B] floats → [B, features]."""
+        half_dim = self.dim // 2
+        weights = self.param(
+            "weights", nn.initializers.normal(stddev=1.0), (half_dim,), jnp.float32
+        )
+        xb = x[:, None].astype(jnp.float32)
+        freqs = xb * weights[None, :] * 2 * np.pi
+        fouriered = jnp.concatenate([jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+        fouriered = jnp.concatenate([xb, fouriered], axis=-1)
+        return nn.Dense(self.features, name="to_out", param_dtype=jnp.float32)(fouriered)
+
+
+class NumberConditionerModule(nn.Module):
+    output_dim: int
+    min_val: float = 0.0
+    max_val: float = 1.0
+
+    @nn.compact
+    def __call__(self, floats):
+        """floats: [B] → ([B, 1, D], [B, 1])."""
+        floats = jnp.clip(floats, self.min_val, self.max_val)
+        normalized = (floats - self.min_val) / (self.max_val - self.min_val)
+        emb = NumberEmbedder(self.output_dim, name="embedder")(normalized)[:, None, :]
+        return emb, jnp.ones((emb.shape[0], 1), dtype=bool)
+
+
+class ListConditionerModule(nn.Module):
+    output_dim: int
+    num_options: int
+
+    @nn.compact
+    def __call__(self, ints):
+        emb = nn.Embed(self.num_options + 1, self.output_dim, name="embedder",
+                       param_dtype=jnp.float32)
+        out = emb(ints)[:, None, :]
+        return out, jnp.ones((out.shape[0], 1), dtype=bool)
+
+
+class LUTConditionerModule(nn.Module):
+    output_dim: int
+    vocab_size: int
+    project_out: bool = False
+
+    @nn.compact
+    def __call__(self, token_ids, attention_mask):
+        emb = nn.Embed(self.vocab_size, self.output_dim, name="embedder",
+                       param_dtype=jnp.float32)(token_ids)
+        emb = ProjOut(self.output_dim, self.output_dim, self.project_out, name="proj")(emb)
+        emb = emb * attention_mask[..., None].astype(emb.dtype)
+        return emb, attention_mask.astype(bool)
+
+
+class PhonemeConditionerModule(nn.Module):
+    output_dim: int
+    vocab_size: int
+    project_out: bool = False
+
+    @nn.compact
+    def __call__(self, phoneme_ids):
+        emb = nn.Embed(self.vocab_size, self.output_dim, name="phoneme_embedder",
+                       param_dtype=jnp.float32)(phoneme_ids)
+        emb = ProjOut(self.output_dim, self.output_dim, self.project_out, name="proj")(emb)
+        return emb, jnp.ones(phoneme_ids.shape, dtype=bool)
+
+
+class T5ProjModule(nn.Module):
+    """The learnable half of T5Conditioner: projection of frozen T5 features."""
+
+    dim: int
+    output_dim: int
+    project_out: bool = False
+
+    @nn.compact
+    def __call__(self, embeddings, attention_mask):
+        out = ProjOut(self.dim, self.output_dim, self.project_out, name="proj")(embeddings)
+        out = out * attention_mask[..., None].astype(out.dtype)
+        return out, attention_mask.astype(bool)
+
+
+class CLAPProjModule(nn.Module):
+    """Learnable projection over (precomputed/frozen) CLAP features."""
+
+    dim: int
+    output_dim: int
+    project_out: bool = False
+
+    @nn.compact
+    def __call__(self, features):
+        """features: [B, D] or [B, N, D] → ([B, 1_or_N, out], mask)."""
+        if features.ndim == 2:
+            features = features[:, None, :]
+        out = ProjOut(self.dim, self.output_dim, self.project_out, name="proj")(features)
+        return out, jnp.ones(out.shape[:2], dtype=bool)
+
+
+class PretransformConditionerModule(nn.Module):
+    """Audio → pretransform latents as conditioning (reference :506-546)."""
+
+    pretransform: tp.Any
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, audio):
+        """audio: [B, C, T] → ([B, latent_dim→output, S] as NLC tuple)."""
+        latents = self.pretransform.encode(audio)
+        latents = jax.lax.stop_gradient(latents)
+        latents = jnp.swapaxes(latents, 1, 2)  # NLC
+        latents = ProjOut(latents.shape[-1], self.output_dim, False, name="proj")(latents)
+        return jnp.swapaxes(latents, 1, 2), jnp.ones(
+            (latents.shape[0], latents.shape[1]), dtype=bool
+        )
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers (preprocessing + frozen towers)
+# ---------------------------------------------------------------------------
+
+
+class HostConditioner:
+    """Base: host preprocessing producing arrays for the flax module half."""
+
+    needs_module = True
+
+    def __init__(self, cid: str):
+        self.id = cid
+
+    def prepare(self, values: tp.List[tp.Any]) -> tp.Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def make_module(self) -> tp.Optional[nn.Module]:
+        raise NotImplementedError
+
+
+class IntConditioner(HostConditioner):
+    def __init__(self, cid, output_dim, min_val=0, max_val=512, **_):
+        super().__init__(cid)
+        self.output_dim, self.min_val, self.max_val = output_dim, min_val, max_val
+
+    def prepare(self, values):
+        return {"ints": np.asarray([int(v) for v in values], np.int32)}
+
+    def make_module(self):
+        return IntConditionerModule(self.output_dim, self.min_val, self.max_val)
+
+
+class NumberConditioner(HostConditioner):
+    def __init__(self, cid, output_dim, min_val=0.0, max_val=1.0, **_):
+        super().__init__(cid)
+        self.output_dim, self.min_val, self.max_val = output_dim, min_val, max_val
+
+    def prepare(self, values):
+        return {"floats": np.asarray([float(v) for v in values], np.float32)}
+
+    def make_module(self):
+        return NumberConditionerModule(self.output_dim, self.min_val, self.max_val)
+
+
+class ListConditioner(HostConditioner):
+    def __init__(self, cid, output_dim, options, **_):
+        super().__init__(cid)
+        self.output_dim = output_dim
+        self.options = list(options)
+
+    def prepare(self, values):
+        ints = [self.options.index(v) + 1 if v in self.options else 0 for v in values]
+        return {"ints": np.asarray(ints, np.int32)}
+
+    def make_module(self):
+        return ListConditionerModule(self.output_dim, len(self.options))
+
+
+class TokenizerLUTConditioner(HostConditioner):
+    def __init__(self, cid, tokenizer_name, output_dim, max_length=1024,
+                 project_out=False, **_):
+        super().__init__(cid)
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+        self.output_dim = output_dim
+        self.max_length = max_length
+        self.project_out = project_out
+
+    def prepare(self, values):
+        enc = self.tokenizer(
+            list(values), truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np",
+        )
+        return {
+            "token_ids": enc["input_ids"].astype(np.int32),
+            "attention_mask": enc["attention_mask"].astype(np.int32),
+        }
+
+    def make_module(self):
+        return LUTConditionerModule(
+            self.output_dim, self.tokenizer.vocab_size, self.project_out
+        )
+
+
+class PhonemeConditioner(HostConditioner):
+    def __init__(self, cid, output_dim, max_length=1024, project_out=False, **_):
+        super().__init__(cid)
+        try:
+            from g2p_en import G2p
+
+            self.g2p = G2p()
+            self.vocab = len(self.g2p.phonemes) + 2
+        except ImportError:
+            # g2p_en isn't in the image: fall back to a character-level table
+            self.g2p = None
+            self.vocab = 130
+        self.output_dim = output_dim
+        self.max_length = max_length
+        self.project_out = project_out
+
+    def prepare(self, values):
+        ignore = [" ", *string.punctuation]
+        if self.g2p is not None:
+            batch = [self.g2p(t) for t in values]
+            batch = [["_" if p in ignore else p for p in ph] for ph in batch]
+            ids = [
+                [self.g2p.p2idx[p] + 2 if p in self.g2p.p2idx else 1 for p in ph]
+                for ph in batch
+            ]
+        else:
+            ids = [[min(ord(c), 127) + 2 for c in t[: self.max_length]] for t in values]
+        longest = max(len(i) for i in ids)
+        ids = [i + [0] * (longest - len(i)) for i in ids]
+        return {"phoneme_ids": np.asarray(ids, np.int32)}
+
+    def make_module(self):
+        return PhonemeConditionerModule(self.output_dim, self.vocab, self.project_out)
+
+
+class T5Conditioner(HostConditioner):
+    """Frozen T5 encoder (host-jitted, fp16-equivalent bf16) + learnable proj.
+
+    reference conditioners.py:288-376. Weights load from a local HF cache/dir;
+    with no weights available (zero-egress), falls back to random init so
+    smoke tests still run (a warning is emitted).
+    """
+
+    T5_MODEL_DIMS = {
+        "t5-small": 512, "t5-base": 768, "t5-large": 1024, "t5-3b": 1024,
+        "t5-11b": 1024, "google/t5-v1_1-xl": 2048, "google/t5-v1_1-xxl": 4096,
+        "google/flan-t5-small": 512, "google/flan-t5-base": 768,
+        "google/flan-t5-large": 1024, "google/flan-t5-3b": 1024,
+        "google/flan-t5-11b": 1024, "google/flan-t5-xl": 2048,
+        "google/flan-t5-xxl": 4096,
+    }
+
+    def __init__(self, cid, output_dim, t5_model_name="t5-base", max_length=128,
+                 enable_grad=False, project_out=False, **_):
+        super().__init__(cid)
+        self.output_dim = output_dim
+        self.t5_model_name = t5_model_name
+        self.max_length = max_length
+        self.project_out = project_out
+        self.dim = self.T5_MODEL_DIMS[t5_model_name]
+        self._t5 = None
+        self._tokenizer = None
+
+    def _load(self):
+        if self._t5 is not None:
+            return
+        from transformers import AutoConfig, AutoTokenizer, FlaxT5EncoderModel
+
+        try:
+            self._tokenizer = AutoTokenizer.from_pretrained(self.t5_model_name)
+            self._t5 = FlaxT5EncoderModel.from_pretrained(
+                self.t5_model_name, dtype=jnp.bfloat16, from_pt=True
+            )
+        except Exception as e:  # zero-egress fallback: random init
+            logger.warning(
+                "T5 weights for %s unavailable (%s); using random init",
+                self.t5_model_name, e,
+            )
+            from transformers import T5Config
+
+            cfg = T5Config(
+                d_model=self.dim, d_ff=self.dim * 2, num_layers=2, num_heads=8,
+                d_kv=self.dim // 8, vocab_size=32128,
+            )
+            self._t5 = FlaxT5EncoderModel(cfg, dtype=jnp.bfloat16)
+            self._tokenizer = _FallbackTokenizer(self.max_length)
+
+        self._encode = jax.jit(
+            lambda ids, mask: self._t5.module.apply(
+                {"params": self._t5.params}, input_ids=ids, attention_mask=mask
+            ).last_hidden_state
+        )
+
+    def prepare(self, values):
+        self._load()
+        enc = self._tokenizer(
+            list(values), truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np",
+        )
+        ids = jnp.asarray(enc["input_ids"], jnp.int32)
+        mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        embeddings = self._encode(ids, mask).astype(jnp.float32)
+        return {"embeddings": np.asarray(embeddings), "attention_mask": np.asarray(mask)}
+
+    def make_module(self):
+        return T5ProjModule(self.dim, self.output_dim, self.project_out)
+
+
+class _FallbackTokenizer:
+    """Deterministic hash tokenizer used only when HF assets are unreachable."""
+
+    def __init__(self, max_length):
+        self.max_length = max_length
+
+    def __call__(self, texts, truncation=True, max_length=None, padding=None,
+                 return_tensors="np"):
+        max_length = max_length or self.max_length
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % 32000 + 2 for w in t.split()][: max_length - 1] + [1]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+class CLAPTextConditioner(HostConditioner):
+    """CLAP text features (reference :128-219). The laion-clap tower isn't in
+    the image; supports precomputed text embeddings (use_text_features=False
+    path → 512-d joint embeds) via a feature-extractor callback, else a
+    deterministic random-projection fallback for smoke testing."""
+
+    def __init__(self, cid, output_dim, clap_ckpt_path=None, use_text_features=False,
+                 feature_layer_ix=-1, audio_model_type="HTSAT-base",
+                 enable_fusion=True, project_out=False, finetune=False, **_):
+        super().__init__(cid)
+        self.output_dim = output_dim
+        self.use_text_features = use_text_features
+        self.dim = 768 if use_text_features else 512
+        self.project_out = project_out
+        self._embed_fn = None  # pluggable: texts -> np.ndarray [B, dim]
+
+    def set_embed_fn(self, fn):
+        self._embed_fn = fn
+
+    def prepare(self, values):
+        if self._embed_fn is not None:
+            feats = np.asarray(self._embed_fn(list(values)), np.float32)
+        else:
+            rng = np.random.RandomState(0)
+            proj = rng.randn(64, self.dim).astype(np.float32) / 8.0
+            feats = np.stack([
+                proj[np.frombuffer(
+                    str(v).encode()[:64].ljust(64, b"\0"), dtype=np.uint8
+                ) % 64].mean(0)
+                for v in values
+            ])
+        return {"features": feats}
+
+    def make_module(self):
+        return CLAPProjModule(self.dim, self.output_dim, self.project_out)
+
+
+class CLAPAudioConditioner(CLAPTextConditioner):
+    def __init__(self, cid, output_dim, **kwargs):
+        super().__init__(cid, output_dim, **kwargs)
+        self.dim = 512
+
+    def prepare(self, values):
+        if self._embed_fn is not None:
+            feats = np.asarray(self._embed_fn(values), np.float32)
+        else:
+            # no CLAP tower available: deterministic audio-statistics features
+            feats = np.zeros((len(values), self.dim), np.float32)
+            for i, v in enumerate(values):
+                a = np.asarray(v, np.float32).ravel()
+                if a.size:
+                    chunks = np.array_split(a, min(self.dim, a.size))
+                    stats = np.asarray([c.std() for c in chunks], np.float32)
+                    feats[i, : stats.size] = stats
+        return {"features": feats}
+
+
+class PretransformConditioner(HostConditioner):
+    def __init__(self, cid, pretransform, output_dim, **_):
+        super().__init__(cid)
+        self.pretransform = pretransform
+        self.output_dim = output_dim
+
+    def prepare(self, values):
+        audio = np.stack([np.asarray(v, np.float32) for v in values])
+        if audio.ndim == 2:
+            audio = audio[:, None, :]
+        return {"audio": audio}
+
+    def make_module(self):
+        return PretransformConditionerModule(self.pretransform, self.output_dim)
+
+
+class MultiConditioner:
+    """Host orchestrator matching reference MultiConditioner (:639-684).
+
+    __call__(batch_metadata) runs host preprocessing then the jitted flax
+    bank; the flax half's params live under the owner's variables as
+    params['conditioner'][<id>].
+    """
+
+    def __init__(self, conditioners: tp.Dict[str, HostConditioner],
+                 default_keys: tp.Dict[str, str] = {},
+                 pre_encoded_keys: tp.List[str] = []):
+        self.conditioners = conditioners
+        self.default_keys = default_keys
+        self.pre_encoded_keys = list(pre_encoded_keys)
+
+    def gather_inputs(self, batch_metadata: tp.List[tp.Dict[str, tp.Any]]):
+        """metadata dicts → {key: host-prepared arrays} (host side, no jit)."""
+        prepared = {}
+        for key, conditioner in self.conditioners.items():
+            condition_key = key
+            inputs = []
+            for x in batch_metadata:
+                if condition_key not in x:
+                    if condition_key in self.default_keys:
+                        condition_key = self.default_keys[condition_key]
+                    else:
+                        raise ValueError(
+                            f"Conditioner key {condition_key} not found in batch metadata"
+                        )
+                v = x[condition_key]
+                if isinstance(v, (list, tuple)) and len(v) == 1:
+                    v = v[0]
+                inputs.append(v)
+            if key in self.pre_encoded_keys:
+                prepared[key] = {"pre_encoded": np.stack(
+                    [np.asarray(i, np.float32) for i in inputs]
+                )}
+            else:
+                prepared[key] = conditioner.prepare(inputs)
+        return prepared
+
+    def make_bank(self) -> "ConditionerBank":
+        modules = {
+            key: c.make_module()
+            for key, c in self.conditioners.items()
+            if key not in self.pre_encoded_keys
+        }
+        return ConditionerBank(modules=modules, pre_encoded_keys=tuple(self.pre_encoded_keys))
+
+
+class ConditionerBank(nn.Module):
+    """Flax half: applies learnable conditioner modules to prepared inputs."""
+
+    modules: tp.Dict[str, nn.Module]
+    pre_encoded_keys: tp.Tuple[str, ...] = ()
+
+    @nn.compact
+    def __call__(self, prepared: tp.Dict[str, tp.Dict[str, jax.Array]]):
+        out = {}
+        for key in sorted(prepared.keys()):
+            data = prepared[key]
+            if key in self.pre_encoded_keys or "pre_encoded" in data:
+                out[key] = (data["pre_encoded"], None)
+                continue
+            module = self.modules[key]
+            wrapped = _Named(module=module, name=key)
+            out[key] = wrapped(**data)
+        return out
+
+
+class _Named(nn.Module):
+    module: nn.Module
+
+    @nn.compact
+    def __call__(self, **kwargs):
+        return self.module(**kwargs)
+
+
+def create_multi_conditioner_from_conditioning_config(
+    config: tp.Dict[str, tp.Any], pretransform=None
+) -> MultiConditioner:
+    """reference conditioners.py:686-761."""
+    conditioners: tp.Dict[str, HostConditioner] = {}
+    cond_dim = config["cond_dim"]
+    default_keys = config.get("default_keys", {})
+    pre_encoded_keys = config.get("pre_encoded_keys", [])
+
+    for conditioner_info in config["configs"]:
+        cid = conditioner_info["id"]
+        ctype = conditioner_info["type"]
+        ccfg = {"output_dim": cond_dim}
+        ccfg.update(conditioner_info.get("config", {}))
+        if ctype == "t5":
+            conditioners[cid] = T5Conditioner(cid, **ccfg)
+        elif ctype == "clap_text":
+            conditioners[cid] = CLAPTextConditioner(cid, **ccfg)
+        elif ctype == "clap_audio":
+            conditioners[cid] = CLAPAudioConditioner(cid, **ccfg)
+        elif ctype == "int":
+            conditioners[cid] = IntConditioner(cid, **ccfg)
+        elif ctype == "number":
+            conditioners[cid] = NumberConditioner(cid, **ccfg)
+        elif ctype == "list":
+            conditioners[cid] = ListConditioner(cid, **ccfg)
+        elif ctype == "phoneme":
+            conditioners[cid] = PhonemeConditioner(cid, **ccfg)
+        elif ctype == "lut":
+            conditioners[cid] = TokenizerLUTConditioner(cid, **ccfg)
+        elif ctype == "pretransform":
+            from .factory import create_pretransform_from_config
+
+            sample_rate = ccfg.pop("sample_rate", None)
+            assert sample_rate is not None, (
+                "Sample rate must be specified for pretransform conditioners"
+            )
+            use_model_pretransform = ccfg.pop("use_model_pretransform", False)
+            if not use_model_pretransform:
+                cond_pretransform = create_pretransform_from_config(
+                    ccfg.pop("pretransform_config"), sample_rate=sample_rate
+                )
+            else:
+                assert pretransform is not None
+                cond_pretransform = pretransform
+            ccfg.pop("pretransform_ckpt_path", None)
+            conditioners[cid] = PretransformConditioner(cid, cond_pretransform, **ccfg)
+        else:
+            raise ValueError(f"Unknown conditioner type: {ctype}")
+
+    return MultiConditioner(
+        conditioners, default_keys=default_keys, pre_encoded_keys=pre_encoded_keys
+    )

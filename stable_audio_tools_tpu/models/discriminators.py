@@ -1,0 +1,426 @@
+"""GAN discriminators for autoencoder training.
+
+Capability parity with reference stable_audio_tools/models/discriminators.py
+and models/encodec.py: EncodecDiscriminator (MS-STFT complex-spectrogram 2D
+conv stacks, hinge/relativistic losses + feature matching, :18-58), Oobleck
+MultiScaleDiscriminator/MultiPeriodDiscriminator over SharedDiscriminatorConvNet
+(:67-304), DAC MPD/MSD/MRD band-split (:309-467) with DACGANLoss (:595).
+
+All discriminators are flax modules exposing
+    loss(reals, fakes) -> (dis_loss, adv_loss, feature_matching_distance)
+with audio in [B, C, T]. Inside, 1-D convs run NLC and 2-D convs NHWC.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.conv import Conv1d, WNConv1d, WNConv2d
+from ..ops.stft import hann_window, stft
+
+
+def get_hinge_losses(score_real, score_fake):
+    gen_loss = -jnp.mean(score_fake)
+    dis_loss = jnp.mean(jax.nn.relu(1 - score_real)) + jnp.mean(
+        jax.nn.relu(1 + score_fake)
+    )
+    return dis_loss, gen_loss
+
+
+def get_relativistic_losses(score_real, score_fake):
+    """RpGAN: relativistic pairing of real/fake scores (models/arc.py:6-11)."""
+    diff = score_real - score_fake
+    dis_loss = jnp.mean(jax.nn.softplus(-diff))
+    gen_loss = jnp.mean(jax.nn.softplus(diff))
+    return dis_loss, gen_loss
+
+
+class DiscriminatorSTFT(nn.Module):
+    """EnCodec STFT sub-discriminator (encodec.py:37-107)."""
+
+    filters: int
+    in_channels: int = 1
+    out_channels: int = 1
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    max_filters: int = 1024
+    filters_scale: int = 1
+    kernel_size: tp.Tuple[int, int] = (3, 9)
+    dilations: tp.Tuple[int, ...] = (1, 2, 4)
+    stride: tp.Tuple[int, int] = (1, 1)
+    normalized: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, C, T] → (logits [B, t, w, 1], fmaps)."""
+        B, C, T = x.shape
+        window = jnp.asarray(hann_window(self.win_length))
+        flat = x.reshape(B * C, T)
+        z = stft(flat, self.n_fft, self.hop_length, self.win_length, center=False)
+        if self.normalized:
+            z = z / jnp.sqrt(jnp.sum(window ** 2))
+        # [B, C, frames, bins] → NHWC [B, t, w, 2C]
+        z = z.reshape(B, C, z.shape[-2], z.shape[-1])
+        z = jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=1)
+        z = z.transpose(0, 2, 3, 1)  # [B, frames(t), bins(w), 2C]
+
+        def pad2d(ks, dil=(1, 1)):
+            return (((ks[0] - 1) * dil[0]) // 2, ((ks[1] - 1) * dil[1]) // 2)
+
+        fmap = []
+        z = WNConv2d(self.filters, self.kernel_size,
+                     padding=pad2d(self.kernel_size), name="conv_in")(z)
+        z = jax.nn.leaky_relu(z, 0.2)
+        fmap.append(z)
+        in_chs = min(self.filters_scale * self.filters, self.max_filters)
+        for i, dilation in enumerate(self.dilations):
+            out_chs = min((self.filters_scale ** (i + 1)) * self.filters,
+                          self.max_filters)
+            z = WNConv2d(
+                out_chs, self.kernel_size, stride=self.stride,
+                dilation=(dilation, 1),
+                padding=pad2d(self.kernel_size, (dilation, 1)),
+                name=f"conv_{i}",
+            )(z)
+            z = jax.nn.leaky_relu(z, 0.2)
+            fmap.append(z)
+            in_chs = out_chs
+        out_chs = min(
+            (self.filters_scale ** (len(self.dilations) + 1)) * self.filters,
+            self.max_filters,
+        )
+        ks2 = (self.kernel_size[0], self.kernel_size[0])
+        z = WNConv2d(out_chs, ks2, padding=pad2d(ks2), name="conv_pre_post")(z)
+        z = jax.nn.leaky_relu(z, 0.2)
+        fmap.append(z)
+        z = WNConv2d(self.out_channels, ks2, padding=pad2d(ks2), name="conv_post")(z)
+        return z, fmap
+
+
+class MultiScaleSTFTDiscriminator(nn.Module):
+    filters: int
+    in_channels: int = 1
+    out_channels: int = 1
+    n_ffts: tp.Tuple[int, ...] = (1024, 2048, 512)
+    hop_lengths: tp.Tuple[int, ...] = (256, 512, 128)
+    win_lengths: tp.Tuple[int, ...] = (1024, 2048, 512)
+
+    @nn.compact
+    def __call__(self, x):
+        logits, fmaps = [], []
+        for i in range(len(self.n_ffts)):
+            logit, fmap = DiscriminatorSTFT(
+                filters=self.filters, in_channels=self.in_channels,
+                out_channels=self.out_channels, n_fft=self.n_ffts[i],
+                hop_length=self.hop_lengths[i], win_length=self.win_lengths[i],
+                name=f"disc_{i}",
+            )(x)
+            logits.append(logit)
+            fmaps.append(fmap)
+        return logits, fmaps
+
+
+class EncodecDiscriminator(nn.Module):
+    """MS-STFT discriminator + hinge/rpgan losses (discriminators.py:18-58)."""
+
+    filters: int = 32
+    in_channels: int = 1
+    out_channels: int = 1
+    n_ffts: tp.Tuple[int, ...] = (2048, 1024, 512, 256, 128)
+    hop_lengths: tp.Tuple[int, ...] = (512, 256, 128, 64, 32)
+    win_lengths: tp.Tuple[int, ...] = (2048, 1024, 512, 256, 128)
+    normalize_losses: bool = False
+    loss_type: str = "hinge"
+
+    def setup(self):
+        self.discriminators = MultiScaleSTFTDiscriminator(
+            filters=self.filters, in_channels=self.in_channels,
+            out_channels=self.out_channels, n_ffts=self.n_ffts,
+            hop_lengths=self.hop_lengths, win_lengths=self.win_lengths,
+        )
+
+    def __call__(self, x):
+        return self.discriminators(x)
+
+    def loss(self, reals, fakes):
+        logits_true, feature_true = self.discriminators(reals)
+        logits_fake, feature_fake = self.discriminators(fakes)
+
+        if self.normalize_losses:
+            fm = lambda a, b: jnp.mean(jnp.abs(a - b)) / (jnp.mean(jnp.abs(a)) + 1e-3)
+        else:
+            fm = lambda a, b: jnp.mean(jnp.abs(a - b))
+
+        dis_loss = 0.0
+        adv_loss = 0.0
+        feature_matching = 0.0
+        for i, (scale_true, scale_fake) in enumerate(zip(feature_true, feature_fake)):
+            feature_matching = feature_matching + sum(
+                fm(a, b) for a, b in zip(scale_true, scale_fake)
+            ) / len(scale_true)
+            if self.loss_type == "hinge":
+                d, a = get_hinge_losses(logits_true[i], logits_fake[i])
+            else:
+                d, a = get_relativistic_losses(logits_true[i], logits_fake[i])
+            dis_loss = dis_loss + d
+            adv_loss = adv_loss + a
+        n = len(logits_true)
+        return dis_loss / n, adv_loss / n, feature_matching / n
+
+
+class SharedDiscriminatorConvNet(nn.Module):
+    """Oobleck conv score head, 1d or 2d (discriminators.py:67-120)."""
+
+    conv_dim: int = 1  # 1 → conv1d over [B, T, C]; 2 → conv2d over [B, T/n, n, C]
+    out_size: int = 1
+    capacity: int = 32
+    n_layers: int = 4
+    kernel_size: int = 15
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        """x NLC (1d) or NHWC (2d). Returns (score [B], features)."""
+        channels = [self.capacity * 2 ** i for i in range(self.n_layers)]
+        features = []
+        h = x
+        for i in range(self.n_layers):
+            if self.conv_dim == 1:
+                h = WNConv1d(
+                    channels[i], kernel_size=self.kernel_size, stride=self.stride,
+                    padding=self.kernel_size // 2, name=f"conv_{i}",
+                )(h)
+            else:
+                h = WNConv2d(
+                    channels[i], (self.kernel_size, 1), stride=(self.stride, 1),
+                    padding=(self.kernel_size // 2, 0), name=f"conv_{i}",
+                )(h)
+            features.append(h)
+            h = jax.nn.silu(h)
+        if self.conv_dim == 1:
+            h = Conv1d(self.out_size, 1, name="conv_out")(h)
+        else:
+            h = WNConv2d(self.out_size, (1, 1), name="conv_out")(h)
+        features.append(h)
+        score = jnp.mean(h.reshape(h.shape[0], -1), axis=-1)
+        return score, features
+
+
+class OobleckDiscriminator(nn.Module):
+    """MultiScale (3 scales) + MultiPeriod ([2,3,5,7,11]) hinge discriminator."""
+
+    in_channels: int = 1
+    n_scales: int = 3
+    periods: tp.Tuple[int, ...] = (2, 3, 5, 7, 11)
+
+    def setup(self):
+        self.scale_discs = [
+            SharedDiscriminatorConvNet(conv_dim=1, name=f"msd_{i}")
+            for i in range(self.n_scales)
+        ]
+        self.period_discs = [
+            SharedDiscriminatorConvNet(conv_dim=2, name=f"mpd_{i}")
+            for i in range(len(self.periods))
+        ]
+
+    def _forward_all(self, x):
+        """x: [B, C, T] → (total score [B], features list)."""
+        score = 0.0
+        features = []
+        h = jnp.swapaxes(x, 1, 2)  # NLC
+        for disc in self.scale_discs:
+            s, f = disc(h)
+            score = score + s
+            features.extend(f)
+            # avg_pool1d stride 2
+            h = jax.lax.reduce_window(
+                h, 0.0, jax.lax.add, (1, 2, 1), (1, 2, 1), "VALID"
+            ) / 2.0
+        B, C, T = x.shape
+        for disc, n in zip(self.period_discs, self.periods):
+            pad = (n - (T % n)) % n
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+            folded = xp.reshape(B, C, -1, n).transpose(0, 2, 3, 1)  # NHWC
+            s, f = disc(folded)
+            score = score + s
+            features.extend(f)
+        return score, features
+
+    def __call__(self, x):
+        return self._forward_all(x)
+
+    def loss(self, reals, fakes):
+        batch = jnp.concatenate([reals, fakes], axis=0)
+        score, features = self._forward_all(batch)
+        B = reals.shape[0]
+        score_real, score_fake = score[:B], score[B:]
+        dis_loss, gen_loss = get_hinge_losses(score_real, score_fake)
+        fm = 0.0
+        for f in features:
+            fm = fm + jnp.mean(jnp.abs(f[:B] - f[B:]))
+        fm = fm / len(features)
+        return dis_loss, gen_loss, fm
+
+
+# ---------------------------------------------------------------------------
+# DAC discriminators (discriminators.py:309-467)
+# ---------------------------------------------------------------------------
+
+
+class DACMPD(nn.Module):
+    period: int
+    channels: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, C, T] → (fmap list, logits)."""
+        B, C, T = x.shape
+        pad = (self.period - T % self.period) % self.period
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)), mode="reflect" if pad < T else "constant")
+        h = xp.reshape(B, C, -1, self.period).transpose(0, 2, 3, 1)  # NHWC
+        fmap = []
+        chs = [32, 128, 512, 1024]
+        for i, ch in enumerate(chs):
+            h = WNConv2d(ch, (5, 1), stride=(3, 1), padding=(2, 0), name=f"conv_{i}")(h)
+            h = jax.nn.leaky_relu(h, 0.1)
+            fmap.append(h)
+        h = WNConv2d(1024, (5, 1), padding=(2, 0), name="conv_4")(h)
+        h = jax.nn.leaky_relu(h, 0.1)
+        fmap.append(h)
+        h = WNConv2d(1, (3, 1), padding=(1, 0), name="conv_post")(h)
+        fmap.append(h)
+        return fmap
+
+
+class DACMSD(nn.Module):
+    rate: int = 1
+    sample_rate: int = 44100
+    channels: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = jnp.swapaxes(x, 1, 2)  # NLC
+        if self.rate > 1:
+            h = h[:, :: self.rate, :]
+        fmap = []
+        convs = [
+            (16, 15, 1, 1), (64, 41, 4, 4), (256, 41, 4, 16), (1024, 41, 4, 64),
+            (1024, 41, 4, 256), (1024, 5, 1, 1),
+        ]
+        for i, (ch, k, s, g) in enumerate(convs):
+            h = WNConv1d(ch, kernel_size=k, stride=s, padding=k // 2,
+                         name=f"conv_{i}")(h)
+            h = jax.nn.leaky_relu(h, 0.1)
+            fmap.append(h)
+        h = WNConv1d(1, kernel_size=3, padding=1, name="conv_post")(h)
+        fmap.append(h)
+        return fmap
+
+
+class DACMRD(nn.Module):
+    """Band-split complex-STFT discriminator (DAC MRD)."""
+
+    n_fft: int = 2048
+    hop_factor: float = 0.25
+    sample_rate: int = 44100
+    bands: tp.Tuple[tp.Tuple[float, float], ...] = (
+        (0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0),
+    )
+
+    @nn.compact
+    def __call__(self, x):
+        B, C, T = x.shape
+        hop = int(self.n_fft * self.hop_factor)
+        flat = x.reshape(B * C, T)
+        z = stft(flat, self.n_fft, hop, self.n_fft)
+        z = z.reshape(B, C, z.shape[-2], z.shape[-1])
+        zr = jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=1)  # [B, 2C, t, f]
+        zr = zr.transpose(0, 2, 3, 1)  # [B, t, f, 2C]
+        n_bins = zr.shape[2]
+        fmap = []
+        band_outs = []
+        for bi, (lo, hi) in enumerate(self.bands):
+            band = zr[:, :, int(lo * n_bins): int(hi * n_bins), :]
+            h = band
+            for i, ch in enumerate([32, 32, 32, 32, 32]):
+                ks = (3, 9) if i == 0 else (3, 3)
+                st = (1, 1) if i in (0, 4) else (1, 2)
+                h = WNConv2d(ch, ks, stride=st,
+                             padding=((ks[0] - 1) // 2, (ks[1] - 1) // 2),
+                             name=f"band{bi}_conv_{i}")(h)
+                h = jax.nn.leaky_relu(h, 0.1)
+                fmap.append(h)
+            band_outs.append(h)
+        h = jnp.concatenate(band_outs, axis=2)
+        h = WNConv2d(1, (3, 3), padding=(1, 1), name="conv_post")(h)
+        fmap.append(h)
+        return fmap
+
+
+class DACGANLoss(nn.Module):
+    """DAC GAN loss bundle: MPD + MSD + MRD (discriminators.py:595-658)."""
+
+    periods: tp.Tuple[int, ...] = (2, 3, 5, 7, 11)
+    rates: tp.Tuple[int, ...] = ()
+    fft_sizes: tp.Tuple[int, ...] = (2048, 1024, 512)
+    sample_rate: int = 44100
+    channels: int = 1
+
+    def setup(self):
+        discs = []
+        self.mpds = [DACMPD(p, channels=self.channels, name=f"mpd_{p}")
+                     for p in self.periods]
+        self.msds = [DACMSD(r, sample_rate=self.sample_rate, channels=self.channels,
+                            name=f"msd_{r}") for r in self.rates]
+        self.mrds = [DACMRD(f, sample_rate=self.sample_rate, name=f"mrd_{f}")
+                     for f in self.fft_sizes]
+
+    def _all(self, x):
+        return (
+            [d(x) for d in self.mpds]
+            + [d(x) for d in self.msds]
+            + [d(x) for d in self.mrds]
+        )
+
+    def __call__(self, x):
+        return self._all(x)
+
+    def loss(self, reals, fakes):
+        d_real = self._all(reals)
+        d_fake = self._all(fakes)
+        dis_loss = 0.0
+        adv_loss = 0.0
+        fm = 0.0
+        for fr, ff in zip(d_real, d_fake):
+            dis_loss = dis_loss + jnp.mean((1 - fr[-1]) ** 2) + jnp.mean(ff[-1] ** 2)
+            adv_loss = adv_loss + jnp.mean((1 - ff[-1]) ** 2)
+            for a, b in zip(fr[:-1], ff[:-1]):
+                fm = fm + jnp.mean(jnp.abs(a - b))
+        return dis_loss, adv_loss, fm
+
+
+def create_discriminator_from_config(discriminator_config: tp.Dict[str, tp.Any]):
+    d_type = discriminator_config.get("type", None)
+    cfg = discriminator_config.get("config", {})
+    cfg = {k: tuple(v) if isinstance(v, list) else v for k, v in cfg.items()}
+    if d_type == "encodec":
+        from .factory import _filter_kwargs
+
+        return EncodecDiscriminator(**_filter_kwargs(EncodecDiscriminator, cfg))
+    elif d_type == "oobleck":
+        from .factory import _filter_kwargs
+
+        return OobleckDiscriminator(**_filter_kwargs(OobleckDiscriminator, cfg))
+    elif d_type == "dac":
+        from .factory import _filter_kwargs
+
+        return DACGANLoss(**_filter_kwargs(DACGANLoss, cfg))
+    else:
+        raise ValueError(f"Unknown discriminator type: {d_type}")

