@@ -1,0 +1,482 @@
+"""Datasets + loader factory (host-side, numpy).
+
+Capability parity with reference stable_audio_tools/data/dataset.py:
+SampleDataset over local audio dirs (fast_scandir :26, load+resample
+:185-194, retry-on-error :261-263, custom get_custom_metadata hook with
+__reject__/__audio__/__replace__ protocols :239-258), PreEncodedDataset over
+.npy latents + .json metadata (:265-358), tar-shard (webdataset-format)
+streaming (:362-699), type-dispatching collation (:628-641), and
+create_dataloader_from_config (:803-960).
+
+The torch DataLoader is replaced by a thread-pooled prefetching iterator
+yielding numpy batches (fixed shapes for jit), sharded per host process.
+"""
+
+from __future__ import annotations
+
+import importlib
+import io
+import json
+import os
+import random
+import tarfile
+import threading
+import typing as tp
+from queue import Queue
+
+import numpy as np
+
+from .resample import resample_poly_np
+from .utils import (
+    Mono,
+    PadCrop_Normalized_T,
+    PhaseFlipper,
+    Stereo,
+    VolumeNorm,
+)
+from .wav import AUDIO_EXTENSIONS, load_audio
+
+
+def fast_scandir(path: str, exts: tp.Sequence[str]) -> tp.Tuple[list, list]:
+    """Recursive dir scan for files with given extensions (reference :26-57)."""
+    subfolders, files = [], []
+    try:
+        for entry in os.scandir(path):
+            try:
+                if entry.is_dir(follow_symlinks=False):
+                    subfolders.append(entry.path)
+                elif entry.is_file() and os.path.splitext(entry.name)[1].lower() in exts:
+                    files.append(entry.path)
+            except OSError:
+                continue
+    except OSError:
+        return subfolders, files
+    for sub in list(subfolders):
+        sf, f = fast_scandir(sub, exts)
+        subfolders.extend(sf)
+        files.extend(f)
+    return subfolders, files
+
+
+def _load_custom_metadata_fn(module_path: tp.Optional[str]):
+    if module_path is None:
+        return None
+    spec = importlib.util.spec_from_file_location("custom_metadata", module_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.get_custom_metadata
+
+
+class SampleDataset:
+    """Local audio-dir dataset (reference :145-263)."""
+
+    def __init__(
+        self,
+        configs: tp.Sequence[dict],
+        sample_size: int = 65536,
+        sample_rate: int = 48000,
+        force_channels: str = "stereo",
+        random_crop: bool = True,
+        augment_phase: bool = True,
+        volume_norm: bool = False,
+        volume_norm_param: tp.Tuple[float, float] = (-16, 2),
+    ):
+        self.sample_size = sample_size
+        self.sample_rate = sample_rate
+        self.random_crop = random_crop
+        self.pad_crop = PadCrop_Normalized_T(sample_size, sample_rate,
+                                             randomize=random_crop)
+        self.force_channels = force_channels
+        self.encoding = (
+            Stereo() if force_channels == "stereo"
+            else Mono() if force_channels == "mono" else None
+        )
+        self.augs = []
+        if augment_phase:
+            self.augs.append(PhaseFlipper())
+        if volume_norm:
+            self.augs.append(VolumeNorm(volume_norm_param, sample_rate))
+
+        self.filenames = []
+        self.custom_metadata_fns = {}
+        for config in configs:
+            path = config["path"]
+            _, files = fast_scandir(path, AUDIO_EXTENSIONS)
+            self.filenames.extend(files)
+            cm = config.get("custom_metadata_module", None)
+            if cm is not None:
+                self.custom_metadata_fns[path] = _load_custom_metadata_fn(cm)
+        self.root_paths = [c["path"] for c in configs]
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def load_file(self, filename):
+        audio, sr = load_audio(filename)
+        if sr != self.sample_rate:
+            audio = np.stack(
+                [resample_poly_np(ch, sr, self.sample_rate) for ch in audio]
+            )
+        return audio
+
+    def __getitem__(self, idx):
+        filename = self.filenames[idx]
+        try:
+            audio = self.load_file(filename)
+            audio, t_start, t_end, seconds_start, seconds_total, padding_mask = (
+                self.pad_crop(audio)
+            )
+            if self.encoding is not None:
+                audio = self.encoding(audio)
+            for aug in self.augs:
+                audio = aug(audio)
+            audio = np.clip(audio, -1.0, 1.0).astype(np.float32)
+
+            info = {
+                "path": filename,
+                "relpath": os.path.relpath(
+                    filename,
+                    next((r for r in self.root_paths if filename.startswith(r)),
+                         os.path.dirname(filename)),
+                ),
+                "timestamps": (t_start, t_end),
+                "seconds_start": seconds_start,
+                "seconds_total": seconds_total,
+                "padding_mask": padding_mask,
+            }
+            for root, fn in self.custom_metadata_fns.items():
+                if filename.startswith(root) and fn is not None:
+                    custom = fn(info, audio)
+                    if "__reject__" in custom and custom["__reject__"]:
+                        return self[random.randrange(len(self))]
+                    if "__audio__" in custom:
+                        audio = custom.pop("__audio__")
+                    info.update(custom)
+            return audio, info
+        except Exception as e:
+            # retry-with-random-index (reference :261-263)
+            print(f"Couldn't load file {filename}: {e}")
+            return self[random.randrange(len(self))]
+
+
+class PreEncodedDataset:
+    """.npy latents + .json metadata (reference :265-358)."""
+
+    def __init__(
+        self,
+        configs: tp.Sequence[dict],
+        sample_size: int = 1024,
+        random_crop: bool = True,
+        latent_crop_length: tp.Optional[int] = None,
+        min_length_sec: float = 0.0,
+    ):
+        self.latent_crop_length = latent_crop_length or sample_size
+        self.random_crop = random_crop
+        self.filenames = []
+        for config in configs:
+            path = config["path"]
+            filelist = os.path.join(path, "filelist.txt")
+            if os.path.exists(filelist):
+                with open(filelist) as f:
+                    self.filenames.extend(
+                        os.path.join(path, line.strip()) for line in f if line.strip()
+                    )
+            else:
+                _, files = fast_scandir(path, [".npy"])
+                self.filenames.extend(files)
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def __getitem__(self, idx):
+        fn = self.filenames[idx]
+        try:
+            latents = np.load(fn).astype(np.float32)
+            if latents.ndim == 3:
+                latents = latents[0]
+            meta_path = os.path.splitext(fn)[0] + ".json"
+            info = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    info = json.load(f)
+            padding_mask = np.asarray(
+                info.get("padding_mask", np.ones(latents.shape[-1])), np.float32
+            )
+            L = self.latent_crop_length
+            T = latents.shape[-1]
+            if T > L:
+                # padding-mask-aware random crop: prefer real-data regions
+                if self.random_crop:
+                    valid = int(padding_mask.sum())
+                    hi = max(min(valid, T) - L, 0)
+                    start = random.randint(0, hi) if hi > 0 else 0
+                else:
+                    start = 0
+                latents = latents[:, start: start + L]
+                padding_mask = padding_mask[start: start + L]
+            elif T < L:
+                latents = np.pad(latents, ((0, 0), (0, L - T)))
+                padding_mask = np.pad(padding_mask, (0, L - T))
+            info["padding_mask"] = padding_mask.astype(np.float32)
+            info.setdefault("seconds_start", 0)
+            info.setdefault("seconds_total", 0)
+            if "__replace__" in info:
+                info.update(info.pop("__replace__"))
+            return latents, info
+        except Exception as e:
+            print(f"Couldn't load latents {fn}: {e}")
+            return self[random.randrange(len(self))]
+
+
+class LocalTarDataset:
+    """webdataset-format tar shards from local disk (reference :591-699).
+
+    Yields (audio, info) samples; groups tar members by key, decodes audio
+    (wav/flac) and json metadata; corrupt members are skipped and logged.
+    """
+
+    def __init__(
+        self,
+        shard_paths: tp.Sequence[str],
+        sample_size: int = 65536,
+        sample_rate: int = 48000,
+        force_channels: str = "stereo",
+        random_crop: bool = True,
+        augment_phase: bool = True,
+        volume_norm: bool = False,
+        volume_norm_param=(-16, 2),
+        shuffle: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.shards = sorted(shard_paths)[process_index::process_count]
+        self.sample_rate = sample_rate
+        self.pad_crop = PadCrop_Normalized_T(sample_size, sample_rate,
+                                             randomize=random_crop)
+        self.encoding = (
+            Stereo() if force_channels == "stereo"
+            else Mono() if force_channels == "mono" else None
+        )
+        self.augs = []
+        if augment_phase:
+            self.augs.append(PhaseFlipper())
+        if volume_norm:
+            self.augs.append(VolumeNorm(volume_norm_param, sample_rate))
+        self.shuffle = shuffle
+
+    def _decode_sample(self, members: dict):
+        audio = None
+        info = {}
+        for ext, data in members.items():
+            if ext in (".wav", ".flac"):
+                audio, sr = _decode_wav_bytes(data)
+                if sr != self.sample_rate:
+                    audio = np.stack(
+                        [resample_poly_np(ch, sr, self.sample_rate) for ch in audio]
+                    )
+            elif ext == ".json":
+                info = json.loads(data.decode())
+            elif ext == ".npy":
+                audio = np.load(io.BytesIO(data)).astype(np.float32)
+        return audio, info
+
+    def __iter__(self):
+        shards = list(self.shards)
+        if self.shuffle:
+            random.shuffle(shards)
+        for shard in shards:
+            try:
+                with tarfile.open(shard) as tf:
+                    current_key = None
+                    members: dict = {}
+                    for member in tf:
+                        if not member.isfile():
+                            continue
+                        key, ext = os.path.splitext(member.name)
+                        if current_key is not None and key != current_key and members:
+                            sample = self._emit(members)
+                            if sample is not None:
+                                yield sample
+                            members = {}
+                        current_key = key
+                        members[ext.lower()] = tf.extractfile(member).read()
+                    if members:
+                        sample = self._emit(members)
+                        if sample is not None:
+                            yield sample
+            except Exception as e:
+                print(f"Skipping corrupt shard {shard}: {e}")
+                continue
+
+    def _emit(self, members):
+        try:
+            audio, info = self._decode_sample(members)
+            if audio is None:
+                return None
+            audio, t_start, t_end, seconds_start, seconds_total, padding_mask = (
+                self.pad_crop(audio)
+            )
+            if self.encoding is not None:
+                audio = self.encoding(audio)
+            for aug in self.augs:
+                audio = aug(audio)
+            info.setdefault("seconds_start", seconds_start)
+            info.setdefault("seconds_total", seconds_total)
+            info["padding_mask"] = padding_mask
+            if "text" in info:
+                info.setdefault("prompt", info["text"])
+            return np.clip(audio, -1, 1).astype(np.float32), info
+        except Exception as e:
+            print(f"Skipping corrupt sample: {e}")
+            return None
+
+
+def _decode_wav_bytes(data: bytes):
+    import tempfile
+
+    # WAV parsing works on bytes via a temp file (rare path; wav.load_wav is
+    # file-based to support chunk seeking)
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        from .wav import load_wav
+
+        return load_wav(path)
+    finally:
+        os.unlink(path)
+
+
+def collation_fn(samples: tp.Sequence[tp.Tuple[np.ndarray, dict]]):
+    """Stack audio, keep metadata as list of dicts (reference :628-641)."""
+    audio = np.stack([s[0] for s in samples])
+    metadata = [s[1] for s in samples]
+    return audio, metadata
+
+
+class DataLoader:
+    """Thread-prefetching loader over a map-style or iterable dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, drop_last: bool = True, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.is_iterable = not hasattr(dataset, "__getitem__")
+
+    def __iter__(self):
+        if self.is_iterable:
+            batch = []
+            for sample in self.dataset:
+                batch.append(sample)
+                if len(batch) == self.batch_size:
+                    yield collation_fn(batch)
+                    batch = []
+            if batch and not self.drop_last:
+                yield collation_fn(batch)
+            return
+
+        indices = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.shuffle(indices)
+        n_batches = len(indices) // self.batch_size
+        if not self.drop_last and len(indices) % self.batch_size:
+            n_batches += 1
+
+        q: Queue = Queue(maxsize=self.prefetch)
+        batch_queue: Queue = Queue()
+        for b in range(n_batches):
+            batch_queue.put(indices[b * self.batch_size: (b + 1) * self.batch_size])
+
+        def worker():
+            while True:
+                try:
+                    batch_idx = batch_queue.get_nowait()
+                except Exception:
+                    break
+                samples = [self.dataset[i] for i in batch_idx]
+                q.put(collation_fn(samples))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        for _ in range(n_batches):
+            yield q.get()
+
+
+def create_dataloader_from_config(
+    dataset_config: dict,
+    batch_size: int,
+    sample_size: int,
+    sample_rate: int,
+    audio_channels: int = 2,
+    num_workers: int = 4,
+    shuffle: bool = True,
+):
+    """reference data/dataset.py:803-960."""
+    dataset_type = dataset_config.get("dataset_type", None)
+    assert dataset_type is not None, "dataset_type must be specified in dataset config"
+
+    force_channels = (
+        "stereo" if audio_channels == 2
+        else "mono" if audio_channels == 1 else "foa"
+    )
+    random_crop = dataset_config.get("random_crop", True)
+
+    if dataset_type == "audio_dir":
+        configs = dataset_config.get("datasets", [])
+        dataset = SampleDataset(
+            configs,
+            sample_size=sample_size,
+            sample_rate=sample_rate,
+            force_channels=force_channels,
+            random_crop=random_crop,
+            augment_phase=dataset_config.get("augment_phase", True),
+            volume_norm=dataset_config.get("volume_norm", False),
+            volume_norm_param=tuple(dataset_config.get("volume_norm_param", (-16, 2))),
+        )
+        return DataLoader(dataset, batch_size, shuffle=shuffle,
+                          num_workers=num_workers)
+    elif dataset_type == "pre_encoded":
+        configs = dataset_config.get("datasets", [])
+        dataset = PreEncodedDataset(
+            configs,
+            sample_size=sample_size,
+            random_crop=random_crop,
+            latent_crop_length=dataset_config.get("latent_crop_length", None),
+        )
+        return DataLoader(dataset, batch_size, shuffle=shuffle,
+                          num_workers=num_workers)
+    elif dataset_type in ("wds", "s3", "tar"):
+        shard_paths = []
+        for ds in dataset_config.get("datasets", []):
+            path = ds["path"]
+            if os.path.isdir(path):
+                _, files = fast_scandir(path, [".tar"])
+                shard_paths.extend(files)
+            else:
+                shard_paths.append(path)
+        try:
+            import jax
+
+            pi, pc = jax.process_index(), jax.process_count()
+        except Exception:
+            pi, pc = 0, 1
+        dataset = LocalTarDataset(
+            shard_paths,
+            sample_size=sample_size,
+            sample_rate=sample_rate,
+            force_channels=force_channels,
+            random_crop=random_crop,
+            volume_norm=dataset_config.get("volume_norm", False),
+            process_index=pi,
+            process_count=pc,
+        )
+        return DataLoader(dataset, batch_size, shuffle=shuffle,
+                          num_workers=num_workers)
+    else:
+        raise NotImplementedError(f"Unknown dataset type: {dataset_type}")

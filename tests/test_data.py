@@ -1,0 +1,164 @@
+"""Data layer tests: WAV IO, transforms, datasets, tar shards, loader."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from stable_audio_tools_tpu.data.dataset import (
+    DataLoader,
+    LocalTarDataset,
+    PreEncodedDataset,
+    SampleDataset,
+    collation_fn,
+    create_dataloader_from_config,
+    fast_scandir,
+)
+from stable_audio_tools_tpu.data.utils import (
+    Mono,
+    PadCrop_Normalized_T,
+    Stereo,
+    VolumeNorm,
+    measure_loudness_lufs,
+)
+from stable_audio_tools_tpu.data.wav import load_wav, save_wav
+
+
+def _make_wavs(tmp_path, n=4, sr=16000, seconds=2.0, channels=2):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(n):
+        audio = (rng.randn(channels, int(sr * seconds)) * 0.1).astype(np.float32)
+        path = str(tmp_path / f"sound_{i}.wav")
+        save_wav(path, audio, sr)
+        paths.append(path)
+    return paths
+
+
+def test_wav_roundtrip_16bit(tmp_path):
+    audio = np.clip(
+        np.random.RandomState(1).randn(2, 1000) * 0.3, -0.99, 0.99
+    ).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    save_wav(path, audio, 22050)
+    loaded, sr = load_wav(path)
+    assert sr == 22050
+    assert loaded.shape == (2, 1000)
+    np.testing.assert_allclose(loaded, audio, atol=1e-4)
+
+
+def test_wav_roundtrip_float32(tmp_path):
+    audio = (np.random.RandomState(2).randn(1, 500) * 0.3).astype(np.float32)
+    path = str(tmp_path / "f.wav")
+    save_wav(path, audio, 44100, float32=True)
+    loaded, sr = load_wav(path)
+    np.testing.assert_allclose(loaded, audio, atol=1e-7)
+
+
+def test_pad_crop_normalized():
+    pc = PadCrop_Normalized_T(1000, 16000, randomize=True)
+    audio = np.random.RandomState(3).randn(2, 2500).astype(np.float32)
+    chunk, t0, t1, s0, s1, mask = pc(audio)
+    assert chunk.shape == (2, 1000)
+    assert mask.sum() == 1000
+    # shorter than target → pad + mask
+    chunk, *_, mask = pc(np.ones((2, 300), np.float32))
+    assert chunk.shape == (2, 1000)
+    assert mask.sum() == 300
+
+
+def test_stereo_mono():
+    mono = np.ones((1, 100))
+    assert Stereo()(mono).shape == (2, 100)
+    assert Mono()(np.ones((2, 100))).shape == (1, 100)
+
+
+def test_volume_norm_lufs():
+    sr = 16000
+    t = np.arange(sr) / sr
+    sine = 0.1 * np.sin(2 * np.pi * 440 * t)[None].astype(np.float32)
+    vn = VolumeNorm(params=(-16, 0), sample_rate=sr)
+    out = vn(sine)
+    measured = measure_loudness_lufs(out, sr)
+    assert abs(measured - (-16)) < 1.5, measured
+
+
+def test_sample_dataset_and_loader(tmp_path):
+    _make_wavs(tmp_path)
+    ds = SampleDataset(
+        [{"path": str(tmp_path)}], sample_size=8000, sample_rate=16000,
+        force_channels="stereo",
+    )
+    assert len(ds) == 4
+    audio, info = ds[0]
+    assert audio.shape == (2, 8000)
+    assert "seconds_total" in info and info["seconds_total"] == 2
+    assert info["padding_mask"].shape == (8000,)
+
+    dl = DataLoader(ds, batch_size=2, num_workers=2)
+    batch_audio, metadata = next(iter(dl))
+    assert batch_audio.shape == (2, 2, 8000)
+    assert len(metadata) == 2
+
+
+def test_custom_metadata_hook(tmp_path):
+    _make_wavs(tmp_path, n=2)
+    hook = tmp_path / "hook.py"
+    hook.write_text(
+        "def get_custom_metadata(info, audio):\n"
+        "    return {'prompt': 'a test sound'}\n"
+    )
+    ds = SampleDataset(
+        [{"path": str(tmp_path), "custom_metadata_module": str(hook)}],
+        sample_size=4000, sample_rate=16000,
+    )
+    _, info = ds[0]
+    assert info["prompt"] == "a test sound"
+
+
+def test_pre_encoded_dataset(tmp_path):
+    for i in range(3):
+        latents = np.random.RandomState(i).randn(8, 128).astype(np.float32)
+        np.save(tmp_path / f"lat_{i}.npy", latents)
+        with open(tmp_path / f"lat_{i}.json", "w") as f:
+            json.dump({"prompt": f"sample {i}",
+                       "padding_mask": [1.0] * 100 + [0.0] * 28}, f)
+    ds = PreEncodedDataset([{"path": str(tmp_path)}], sample_size=64)
+    latents, info = ds[0]
+    assert latents.shape == (8, 64)
+    assert info["padding_mask"].shape == (64,)
+    assert "prompt" in info
+
+
+def test_tar_dataset(tmp_path):
+    sr = 16000
+    shard = tmp_path / "shard-000.tar"
+    with tarfile.open(shard, "w") as tf:
+        for i in range(3):
+            wav_path = tmp_path / f"s{i}.wav"
+            save_wav(str(wav_path), np.random.RandomState(i).randn(2, sr).astype(
+                np.float32) * 0.1, sr)
+            tf.add(wav_path, arcname=f"{i:04d}.wav")
+            meta = tmp_path / f"s{i}.json"
+            meta.write_text(json.dumps({"text": f"sound {i}"}))
+            tf.add(meta, arcname=f"{i:04d}.json")
+    ds = LocalTarDataset([str(shard)], sample_size=8000, sample_rate=sr,
+                         shuffle=False)
+    samples = list(ds)
+    assert len(samples) == 3
+    audio, info = samples[0]
+    assert audio.shape == (2, 8000)
+    assert info["prompt"] == "sound 0"
+
+
+def test_create_dataloader_from_config(tmp_path):
+    _make_wavs(tmp_path)
+    dl = create_dataloader_from_config(
+        {"dataset_type": "audio_dir", "datasets": [{"path": str(tmp_path)}]},
+        batch_size=2, sample_size=4000, sample_rate=16000, audio_channels=2,
+        num_workers=1,
+    )
+    audio, metadata = next(iter(dl))
+    assert audio.shape == (2, 2, 4000)
