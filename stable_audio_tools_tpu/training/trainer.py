@@ -1,0 +1,172 @@
+"""Training run loop — the PyTorch-Lightning replacement.
+
+Owns what the reference delegates to pl.Trainer (train.py:148-164): the step
+loop, host-side conditioning, checkpoint-every-N (with model config embedded
+alongside, reference ModelConfigEmbedderCallback train.py:17-22), demo
+callbacks, metric logging, resume, and the DP mesh placement (batch sharded on
+'data', params replicated, optimizer state ZeRO-sharded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.checkpoints import load_checkpoint, save_checkpoint
+from ..parallel.mesh import create_mesh, shard_batch, zero_shard_opt_state, replicate_tree
+from .utils import JSONLLogger, get_rank
+
+
+class Trainer:
+    def __init__(
+        self,
+        training_wrapper,
+        model,
+        model_config: dict,
+        save_dir: str = "checkpoints",
+        checkpoint_every: int = 10000,
+        log_every: int = 1,
+        demo_every: int = 0,
+        demo_callback: tp.Optional[tp.Callable] = None,
+        max_steps: tp.Optional[int] = None,
+        logger=None,
+        use_mesh: bool = True,
+        accum_batches: int = 1,
+        seed: int = 42,
+    ):
+        self.wrapper = training_wrapper
+        self.model = model
+        self.model_config = model_config
+        self.save_dir = save_dir
+        self.checkpoint_every = checkpoint_every
+        self.log_every = log_every
+        self.demo_every = demo_every
+        self.demo_callback = demo_callback
+        self.max_steps = max_steps
+        self.logger = logger or JSONLLogger(os.path.join(save_dir, "train_log.jsonl"))
+        self.accum_batches = accum_batches
+        self.seed = seed
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = create_mesh()
+        self.rank = get_rank()
+
+    # -- batch assembly ----------------------------------------------------
+
+    def _prepare_batch(self, audio: np.ndarray, metadata: tp.List[dict]):
+        batch = {"audio": jnp.asarray(audio)}
+        if metadata and "padding_mask" in metadata[0]:
+            pm = np.stack([
+                np.asarray(
+                    md["padding_mask"][0]
+                    if isinstance(md["padding_mask"], list) and len(md["padding_mask"]) == 1
+                    else md["padding_mask"]
+                )
+                for md in metadata
+            ])
+            batch["padding_mask"] = jnp.asarray(pm)
+        mc = getattr(self.model, "_multi_conditioner", None)
+        if mc is not None:
+            prepared = mc.gather_inputs(metadata)
+            batch["prepared_cond"] = jax.tree_util.tree_map(jnp.asarray, prepared)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def _place_state(self, state):
+        if self.mesh is None:
+            return state
+        placed = state.replace(
+            params=replicate_tree(state.params, self.mesh)
+            if hasattr(state, "params") else state.params,
+            opt_state=jax.device_put(
+                state.opt_state, zero_shard_opt_state(state.opt_state, self.mesh)
+            ) if hasattr(state, "opt_state") else state.opt_state,
+        )
+        if getattr(state, "ema_params", None) is not None:
+            placed = placed.replace(
+                ema_params=replicate_tree(state.ema_params, self.mesh)
+            )
+        return placed
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save(self, state, step: int):
+        if self.rank != 0:
+            return
+        path = os.path.join(self.save_dir, f"step={step}.ckpt")
+        save_checkpoint(path, state, metadata={"step": step,
+                                               "model_config": self.model_config})
+        # embed the model config next to the ckpt (ModelConfigEmbedderCallback)
+        with open(os.path.join(self.save_dir, "model_config.json"), "w") as f:
+            json.dump(self.model_config, f)
+
+    def restore(self, state, ckpt_path: str):
+        return load_checkpoint(ckpt_path, state)
+
+    # -- run loop -----------------------------------------------------------
+
+    def fit(self, dataloader, state=None, ckpt_path: tp.Optional[str] = None,
+            val_dataloader=None):
+        wrapper = self.wrapper
+        is_gan = hasattr(wrapper, "train_step") and not hasattr(
+            wrapper, "make_train_step"
+        )
+        if state is None:
+            raise ValueError("state must be provided (use wrapper.init_state)")
+        if ckpt_path is not None:
+            state = self.restore(state, ckpt_path)
+        state = self._place_state(state) if not is_gan else state
+        if not is_gan:
+            train_step = wrapper.make_train_step(accum_steps=self.accum_batches)
+            train_step = jax.jit(train_step)
+
+        rng = jax.random.PRNGKey(self.seed + self.rank)
+        step = int(np.asarray(state.step))
+        t_last = time.time()
+        done = False
+        while not done:
+            for audio, metadata in dataloader:
+                if self.max_steps is not None and step >= self.max_steps:
+                    done = True
+                    break
+                batch = self._prepare_batch(audio, metadata)
+                step_rng = jax.random.fold_in(rng, step)
+                if is_gan:
+                    state, aux = wrapper.train_step(
+                        state, batch["audio"], step_rng, step
+                    )
+                else:
+                    state, aux = train_step(state, batch, step_rng)
+                step += 1
+
+                if step % self.log_every == 0 and self.rank == 0:
+                    metrics = {f"train/{k}": float(v) for k, v in aux.items()
+                               if np.ndim(v) == 0}
+                    metrics["train/steps_per_sec"] = self.log_every / max(
+                        time.time() - t_last, 1e-9
+                    )
+                    t_last = time.time()
+                    self.logger.log_metrics(metrics, step=step)
+
+                if self.checkpoint_every and step % self.checkpoint_every == 0:
+                    self.save(state, step)
+
+                if (self.demo_every and step % self.demo_every == 0
+                        and self.demo_callback is not None and self.rank == 0):
+                    try:
+                        self.demo_callback(self.model, self.wrapper, state, step)
+                    except Exception as e:
+                        print(f"Demo callback failed at step {step}: {e}")
+
+            if self.max_steps is None:
+                # single-pass datasets keep cycling
+                continue
+        self.save(state, step)
+        return state

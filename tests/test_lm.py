@@ -1,0 +1,178 @@
+"""LM stack tests: codebook patterns, model, generation, training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_audio_tools_tpu.models.codebook_patterns import (
+    CoarseFirstPattern,
+    DelayedPatternProvider,
+    MusicLMPattern,
+    ParallelPatternProvider,
+    UnrolledPatternProvider,
+)
+from stable_audio_tools_tpu.models.factory import create_model_from_config
+from stable_audio_tools_tpu.models.lm import lm_generate
+from stable_audio_tools_tpu.training.factory import create_training_wrapper_from_config
+
+SPECIAL = 99
+
+
+@pytest.mark.parametrize("provider_cls,kwargs", [
+    (DelayedPatternProvider, {}),
+    (ParallelPatternProvider, {}),
+    (UnrolledPatternProvider, {}),
+    (MusicLMPattern, {"group_by": 2}),
+])
+def test_pattern_build_revert_roundtrip(provider_cls, kwargs):
+    K, T, B = 4, 12, 2
+    provider = provider_cls(K, **kwargs)
+    pattern = provider.get_pattern(T)
+    codes = jnp.asarray(np.random.RandomState(0).randint(0, 64, (B, K, T)))
+    seq, idx, mask = pattern.build_pattern_sequence(codes, SPECIAL)
+    assert seq.shape == (B, K, pattern.S)
+    reverted, _, rmask = pattern.revert_pattern_sequence(seq, SPECIAL)
+    # every (k, t) covered by the pattern must roundtrip exactly
+    rm = np.asarray(rmask)
+    np.testing.assert_array_equal(
+        np.asarray(reverted)[:, rm], np.asarray(codes)[:, rm]
+    )
+
+
+def test_delayed_pattern_structure():
+    provider = DelayedPatternProvider(3)
+    pattern = provider.get_pattern(8)
+    assert pattern.S == 8 + 2  # max delay K-1
+    codes = jnp.arange(24).reshape(1, 3, 8)
+    seq, _, _ = pattern.build_pattern_sequence(codes, SPECIAL)
+    s = np.asarray(seq)[0]
+    # codebook 0 has no delay; codebook 2 delayed by 2
+    assert s[0, 0] == 0
+    assert s[1, 0] == SPECIAL and s[1, 1] == 8
+    assert s[2, 0] == SPECIAL and s[2, 1] == SPECIAL and s[2, 2] == 16
+
+
+def test_coarse_first_pattern():
+    provider = CoarseFirstPattern(3)
+    pattern = provider.get_pattern(4)
+    codes = jnp.arange(12).reshape(1, 3, 4)
+    seq, _, _ = pattern.build_pattern_sequence(codes, SPECIAL)
+    s = np.asarray(seq)[0]
+    np.testing.assert_array_equal(s[0, :4], [0, 1, 2, 3])
+    assert np.all(s[1, :4] == SPECIAL)
+
+
+TINY_LM_CONFIG = {
+    "model_type": "lm",
+    "sample_size": 2048,
+    "sample_rate": 16000,
+    "audio_channels": 1,
+    "model": {
+        "pretransform": {
+            "type": "autoencoder",
+            "config": {
+                "encoder": {"type": "oobleck", "config": {
+                    "in_channels": 1, "channels": 8, "c_mults": [1, 2],
+                    "strides": [4, 4], "latent_dim": 4, "use_snake": True}},
+                "decoder": {"type": "oobleck", "config": {
+                    "out_channels": 1, "channels": 8, "c_mults": [1, 2],
+                    "strides": [4, 4], "latent_dim": 4, "use_snake": True}},
+                "bottleneck": {"type": "fsq", "config": {"levels": [8, 8, 8, 8]}},
+                "latent_dim": 4,
+                "downsampling_ratio": 16,
+                "io_channels": 1,
+            },
+        },
+        "conditioning": {
+            "configs": [{"id": "seconds_total", "type": "number",
+                         "config": {"min_val": 0, "max_val": 64}}],
+            "cond_dim": 16,
+        },
+        "lm": {
+            "type": "continuous_transformer",
+            "codebook_pattern": {"type": "delay"},
+            "cross_attention_cond_ids": ["seconds_total"],
+            "config": {"embed_dim": 32, "depth": 1, "num_heads": 2,
+                       "cross_attn_cond_dim": 16, "use_checkpointing": False},
+        },
+    },
+    "training": {"learning_rate": 1e-3},
+}
+
+
+@pytest.fixture(scope="module")
+def lm_setup():
+    model = create_model_from_config(TINY_LM_CONFIG)
+    assert model.num_quantizers == 1
+    assert model.codebook_size == 8 ** 4
+    mc = model._multi_conditioner
+    prepared = jax.tree_util.tree_map(
+        jnp.asarray, mc.gather_inputs([{"seconds_total": 4.0}])
+    )
+    codes = jnp.zeros((1, 1, 16), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        codes, cond=prepared,
+    )
+    # also init pretransform params
+    audio = jnp.zeros((1, 1, 256))
+    pt_vars = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        audio, method=model.pretransform_tokenize,
+    )
+    variables = {"params": {**pt_vars["params"], **variables["params"]}}
+    return model, variables, prepared
+
+
+def test_lm_forward_and_logits(lm_setup):
+    model, variables, prepared = lm_setup
+    codes = jnp.asarray(np.random.RandomState(1).randint(0, 100, (1, 1, 16)))
+    logits = model.apply(variables, codes, cond=prepared)
+    assert logits.shape == (1, 1, 16, 8 ** 4)
+
+    logits2, mask = model.apply(
+        variables, codes, cond=prepared, method=model.compute_logits
+    )
+    assert logits2.shape == (1, 1, 16, 8 ** 4)
+    assert mask.shape == (1, 1, 16)
+
+
+def test_lm_generate(lm_setup):
+    model, variables, prepared = lm_setup
+    cond_tensors = model.apply(variables, prepared, method=model.run_conditioner)
+    codes = lm_generate(
+        model, variables, conditioning_tensors=cond_tensors,
+        max_gen_len=8, batch_size=1, top_k=16, rng=jax.random.PRNGKey(0),
+    )
+    assert codes.shape == (1, 1, 8)
+    assert int(codes.min()) >= 0 and int(codes.max()) < 8 ** 4
+
+    # CFG path
+    codes_cfg = lm_generate(
+        model, variables, conditioning_tensors=cond_tensors,
+        max_gen_len=8, cfg_scale=2.0, top_k=16, rng=jax.random.PRNGKey(1),
+    )
+    assert codes_cfg.shape == (1, 1, 8)
+
+
+def test_lm_training_step(lm_setup):
+    model, variables, prepared = lm_setup
+    trainer = create_training_wrapper_from_config(TINY_LM_CONFIG, model)
+    state = trainer.init_state(variables)
+    step = jax.jit(trainer.make_train_step())
+    batch = {
+        "audio": jnp.asarray(
+            np.random.RandomState(2).randn(2, 1, 256).astype(np.float32) * 0.1
+        ),
+        "prepared_cond": jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, x]), prepared
+        ),
+    }
+    losses = []
+    for i in range(6):
+        state, aux = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(aux["loss"]))
+        assert np.isfinite(losses[-1])
+        assert "perplexity" in aux and "ce_q0" in aux
+    assert losses[-1] < losses[0], losses

@@ -1,0 +1,145 @@
+"""Training CLI — flag-compatible with the reference train.py.
+
+Parses defaults.ini + CLI flags (prefigure equivalent), builds the
+dataloader / model / training wrapper from JSON configs, and runs the JAX
+Trainer (data-parallel mesh + ZeRO-sharded optimizer instead of
+Lightning DDP/DeepSpeed; reference train.py:24-169).
+"""
+
+import argparse
+import configparser
+import json
+import os
+
+
+def parse_args():
+    ini = configparser.ConfigParser()
+    defaults = {}
+    if os.path.exists("defaults.ini"):
+        ini.read("defaults.ini")
+        defaults = dict(ini["DEFAULTS"]) if "DEFAULTS" in ini else {}
+
+    def dget(key, fallback, cast=str):
+        v = defaults.get(key, fallback)
+        if isinstance(v, str):
+            v = v.strip("'\"")
+        try:
+            return cast(v)
+        except (TypeError, ValueError):
+            return fallback
+
+    p = argparse.ArgumentParser(description="stable-audio-tools-tpu trainer")
+    p.add_argument("--name", type=str, default=dget("name", "stable_audio_tools"))
+    p.add_argument("--project", type=str, default=dget("project", None))
+    p.add_argument("--batch-size", type=int, default=dget("batch_size", 4, int))
+    p.add_argument("--num-workers", type=int, default=dget("num_workers", 6, int))
+    p.add_argument("--seed", type=int, default=dget("seed", 42, int))
+    p.add_argument("--accum-batches", type=int, default=dget("accum_batches", 1, int))
+    p.add_argument("--checkpoint-every", type=int,
+                   default=dget("checkpoint_every", 10000, int))
+    p.add_argument("--val-every", type=int, default=dget("val_every", -1, int))
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--ckpt-path", type=str, default=dget("ckpt_path", ""))
+    p.add_argument("--pretrained-ckpt-path", type=str,
+                   default=dget("pretrained_ckpt_path", ""))
+    p.add_argument("--pretransform-ckpt-path", type=str,
+                   default=dget("pretransform_ckpt_path", ""))
+    p.add_argument("--model-config", type=str, default=dget("model_config", ""))
+    p.add_argument("--dataset-config", type=str, default=dget("dataset_config", ""))
+    p.add_argument("--val-dataset-config", type=str,
+                   default=dget("val_dataset_config", ""))
+    p.add_argument("--save-dir", type=str, default=dget("save_dir", "checkpoints"))
+    p.add_argument("--gradient-clip-val", type=float,
+                   default=dget("gradient_clip_val", 0.0, float))
+    p.add_argument("--logger", type=str, default=dget("logger", "jsonl"))
+    p.add_argument("--demo-every", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    assert args.model_config, "--model-config is required"
+    assert args.dataset_config, "--dataset-config is required"
+
+    import jax
+    import numpy as np
+
+    from stable_audio_tools_tpu.data.dataset import create_dataloader_from_config
+    from stable_audio_tools_tpu.models.factory import create_model_from_config
+    from stable_audio_tools_tpu.training.factory import (
+        create_training_wrapper_from_config,
+    )
+    from stable_audio_tools_tpu.training.trainer import Trainer
+    from stable_audio_tools_tpu.io.checkpoints import (
+        copy_state_dict,
+        load_ckpt_state_dict,
+    )
+
+    with open(args.model_config) as f:
+        model_config = json.load(f)
+    with open(args.dataset_config) as f:
+        dataset_config = json.load(f)
+
+    model = create_model_from_config(model_config)
+    wrapper = create_training_wrapper_from_config(model_config, model)
+
+    dataloader = create_dataloader_from_config(
+        dataset_config,
+        batch_size=args.batch_size,
+        sample_size=model_config["sample_size"],
+        sample_rate=model_config["sample_rate"],
+        audio_channels=model_config.get("audio_channels", 2),
+        num_workers=args.num_workers,
+    )
+
+    # init state from a template batch
+    import jax.numpy as jnp
+
+    audio, metadata = next(iter(dataloader))
+    model_type = model_config["model_type"]
+    rng = jax.random.PRNGKey(args.seed)
+    if model_type == "autoencoder":
+        state = wrapper.init_state(rng, jnp.asarray(audio))
+    else:
+        mc = getattr(model, "_multi_conditioner", None)
+        prepared = None
+        if mc is not None:
+            prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(metadata))
+        sample_size = model_config["sample_size"]
+        ratio = (model.pretransform.downsampling_ratio
+                 if model.pretransform is not None else 1)
+        io_ch = model.io_channels
+        x = jnp.zeros((audio.shape[0], io_ch, sample_size // ratio), jnp.float32)
+        t = jnp.ones((audio.shape[0],))
+        init_kwargs = {"cond": prepared} if prepared is not None else {}
+        variables = jax.jit(
+            lambda x, t: model.init(
+                {"params": rng, "sample": jax.random.fold_in(rng, 1),
+                 "cfg": jax.random.fold_in(rng, 2)},
+                x, t, method=model.init_full, **init_kwargs,
+            )
+        )(x, t)
+        if args.pretrained_ckpt_path:
+            sd = load_ckpt_state_dict(args.pretrained_ckpt_path)
+            new_params, loaded, skipped = copy_state_dict(variables["params"], sd)
+            print(f"Loaded {loaded} tensors from pretrained ckpt "
+                  f"({len(skipped)} skipped)")
+            variables = {**variables, "params": new_params}
+        state = wrapper.init_state(variables)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    trainer = Trainer(
+        wrapper, model, model_config,
+        save_dir=args.save_dir,
+        checkpoint_every=args.checkpoint_every,
+        demo_every=args.demo_every,
+        max_steps=args.max_steps,
+        accum_batches=args.accum_batches,
+        seed=args.seed,
+    )
+    trainer.fit(dataloader, state=state,
+                ckpt_path=args.ckpt_path or None)
+
+
+if __name__ == "__main__":
+    main()
