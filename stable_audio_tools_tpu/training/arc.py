@@ -1,0 +1,425 @@
+"""ARC post-training: adversarial relativistic-contrastive few-step distillation.
+
+Capability parity with reference stable_audio_tools/training/arc.py:
+ODE warmup regression against teacher DPM++ trajectories with intermediates
+(:22-68, :220-262), relativistic GAN on DiT hidden states at a chosen exit
+layer (:383-397, :430-434), contrastive discriminator with rolled prompts
+(:470-495), approximate R1/R2 gradient penalties (:436-459), per-role noise
+distributions (:519-539), manual two-optimizer alternation (:355-511).
+
+TPU design: warmup and gen/disc phases are separately-jitted programs chosen
+on the host by step parity; teacher ODE trajectories are produced by a jitted
+scan and cached on the host between refreshes.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..inference.sampling import truncated_logistic_normal_rescaled
+from ..models.arc import ConvDiscriminator, ConvNeXtDiscriminator
+from .ema import ema_update
+from .utils import build_optimizer
+
+
+def euler_step(x_t, v_t, t, s):
+    return x_t + (s - t)[:, None, None] * v_t
+
+
+def sample_flow_dpmpp_w_intermediates(model_fn, x, sigmas, **extra_args):
+    """Teacher DPM++ trajectory with per-step intermediates (jitted scan)."""
+    t = jnp.asarray(sigmas)
+    n = len(sigmas) - 1
+    ones = jnp.ones((x.shape[0],), x.dtype)
+    log_snr = lambda s: jnp.log(
+        jnp.clip((1 - s) / jnp.clip(s, 1e-12, None), 1e-12, None)
+    )
+
+    def body(carry, i):
+        x, old_denoised = carry
+        t_curr, t_next = t[i], t[i + 1]
+        t_prev = t[jnp.maximum(i - 1, 0)]
+        inter_x, inter_t = x, t_curr
+        denoised = x - t_curr * model_fn(x, t_curr * ones, **extra_args)
+        alpha_t = 1 - t_next
+        h = log_snr(t_next) - log_snr(t_curr)
+        h_last = log_snr(t_curr) - log_snr(t_prev)
+        r = h_last / h
+        denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+        use_first = jnp.logical_or(i == 0, t_next == 0)
+        d_eff = jnp.where(use_first, denoised, denoised_d)
+        x = (t_next / t_curr) * x - alpha_t * jnp.expm1(-h) * d_eff
+        return (x, denoised), (inter_x, inter_t)
+
+    (x, _), (inters_x, inters_t) = jax.lax.scan(
+        body, (x, jnp.zeros_like(x)), jnp.arange(n)
+    )
+    return {"target": x, "x": inters_x, "t": inters_t}
+
+
+def build_noise_dist(config: tp.Optional[dict]):
+    """Per-role timestep distribution (reference :519-539)."""
+    config = config or {"type": "uniform"}
+    d_type = config.get("type", "uniform") if isinstance(config, dict) else "uniform"
+
+    def sampler(rng, batch_size):
+        if d_type == "uniform":
+            lo = config.get("min", 0.0)
+            hi = config.get("max", 1.0)
+            return jax.random.uniform(rng, (batch_size,), minval=lo, maxval=hi)
+        if d_type == "logit_normal":
+            mean = config.get("mean", 0.0)
+            std = config.get("std", 1.0)
+            return jax.nn.sigmoid(jax.random.normal(rng, (batch_size,)) * std + mean)
+        if d_type == "trunc_logit_normal":
+            return 1.0 - truncated_logistic_normal_rescaled(rng, (batch_size,))
+        if d_type == "discrete":
+            values = jnp.asarray(config.get("values", [1.0]))
+            idx = jax.random.randint(rng, (batch_size,), 0, len(values))
+            return values[idx]
+        raise ValueError(f"Unknown noise dist {d_type}")
+
+    return sampler
+
+
+class ARCTrainState(struct.PyTreeNode):
+    step: jax.Array
+    gen_params: tp.Any
+    gen_opt_state: tp.Any
+    disc_params: tp.Any
+    head_params: tp.Any
+    disc_opt_state: tp.Any
+    ema_params: tp.Optional[tp.Any] = None
+
+
+class ARCTrainer:
+    def __init__(
+        self,
+        model,  # student ConditionedDiffusionModelWrapper (rf objective)
+        discriminator,  # frozen-architecture copy used as feature extractor
+        arc_config: dict,
+        optimizer_configs: dict,
+        teacher_model=None,
+        teacher_variables=None,
+        use_ema: bool = True,
+        pre_encoded: bool = False,
+        cfg_dropout_prob: float = 0.0,
+        clip_grad_norm: float = 0.0,
+    ):
+        self.model = model
+        self.discriminator = discriminator
+        self.teacher_model = teacher_model
+        self.teacher_variables = teacher_variables
+        self.use_ema = use_ema
+        self.pre_encoded = pre_encoded
+        self.cfg_dropout_prob = cfg_dropout_prob
+
+        ode_cfg = arc_config.get("ode_warmup", {}) or {}
+        self.ode_warmup_steps = ode_cfg.get("warmup_steps", 0)
+        self.ode_refresh_rate = ode_cfg.get("refresh_rate", 1)
+        self.ode_n_sampling_steps = ode_cfg.get("n_sampling_steps", 8)
+        self.ode_warmup_cfg = ode_cfg.get("cfg_scale", 1.0)
+
+        gan_cfg = arc_config.get("gan", {}) or {}
+        self.gen_gan_weight = gan_cfg.get("gen_weight", 1.0)
+        self.dis_gan_weight = gan_cfg.get("dis_weight", 1.0)
+        self.discriminator_dit_layer = gan_cfg.get("discriminator_dit_layer", -1)
+        self.include_grad_penalties = gan_cfg.get("grad_penalties", True)
+        self.do_contrastive_disc = gan_cfg.get("contrastive", True)
+        self.contrastive_loss_weight = gan_cfg.get("contrastive_weight", 1.0)
+        self.contrastive_key = gan_cfg.get("contrastive_key", "prompt")
+        self.gen_noise_dist = build_noise_dist(gan_cfg.get("gen_noise_dist"))
+        self.dis_noise_dist = build_noise_dist(gan_cfg.get("dis_noise_dist"))
+
+        head_cfg = gan_cfg.get("head", {"type": "conv"})
+        head_channels = head_cfg.get(
+            "channels",
+            getattr(getattr(discriminator.model, "dit", None), "embed_dim", 512),
+        )
+        if head_cfg.get("type", "conv") == "convnext":
+            self.discriminator_head = ConvNeXtDiscriminator(
+                in_channels=head_channels, loss_type="relativistic"
+            )
+        else:
+            self.discriminator_head = ConvDiscriminator(
+                channels=head_channels, loss_type="relativistic"
+            )
+
+        self.gen_optimizer = build_optimizer(optimizer_configs["diffusion"])
+        self.disc_optimizer = build_optimizer(optimizer_configs["discriminator"])
+        if clip_grad_norm > 0:
+            self.gen_optimizer = optax.chain(
+                optax.clip_by_global_norm(clip_grad_norm), self.gen_optimizer
+            )
+            self.disc_optimizer = optax.chain(
+                optax.clip_by_global_norm(clip_grad_norm), self.disc_optimizer
+            )
+
+        self._jit_cache = {}
+        self._ode_cache = None  # host-cached teacher trajectories
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self, gen_variables, disc_variables, sample_latents) -> ARCTrainState:
+        gen_params = gen_variables["params"]
+        disc_params = disc_variables["params"]
+        hs = self._hidden_states(
+            {"params": disc_params},
+            sample_latents, jnp.ones((sample_latents.shape[0],)), None,
+        )
+        head_vars = jax.jit(self.discriminator_head.init)(jax.random.PRNGKey(7), hs)
+        head_params = head_vars["params"]
+        return ARCTrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            gen_opt_state=self.gen_optimizer.init(gen_params),
+            disc_params=disc_params,
+            head_params=head_params,
+            disc_opt_state=self.disc_optimizer.init((disc_params, head_params)),
+            ema_params=jax.tree_util.tree_map(jnp.copy, gen_params)
+            if self.use_ema else None,
+        )
+
+    def _hidden_states(self, variables, x, t, cond_tensors):
+        return self.discriminator.apply(
+            variables, x, t, cond_tensors=cond_tensors,
+            exit_layer_ix=self.discriminator_dit_layer,
+        )
+
+    def _head_scores(self, head_params, hidden):
+        return self.discriminator_head.apply({"params": head_params}, hidden)
+
+    # -- ODE warmup ----------------------------------------------------------
+
+    def _refresh_ode_states(self, gen_params, latents, cond_tensors, rng):
+        """Teacher DPM++ trajectory (host-cached between refreshes)."""
+        tm = self.teacher_model if self.teacher_model is not None else self.model
+        tv = self.teacher_variables or {"params": gen_params}
+        logsnr = np.linspace(-6, 2, self.ode_n_sampling_steps + 1)
+        t = 1.0 / (1.0 + np.exp(logsnr))
+        t[0], t[-1] = 1.0, 0.0
+        noise = jax.random.normal(rng, latents.shape, latents.dtype)
+
+        def model_fn(x, tt, **kw):
+            return tm.apply(
+                tv, x, tt, cond_tensors=cond_tensors,
+                cfg_scale=self.ode_warmup_cfg,
+            )
+
+        key = ("ode_traj", latents.shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda noise: sample_flow_dpmpp_w_intermediates(
+                    model_fn, noise, t.astype(np.float32)
+                )
+            )
+        return self._jit_cache[key](noise)
+
+    def _ode_step_fn(self):
+        def loss_fn(gen_params, diff_states, cond_tensors, rng):
+            B = diff_states["target"].shape[0]
+            ixs = jax.random.randint(
+                rng, (B,), 0, self.ode_n_sampling_steps
+            )
+            t = diff_states["t"][ixs]
+            x_t = diff_states["x"][ixs, jnp.arange(B)]
+            rngs = {"cfg": jax.random.fold_in(rng, 1)}
+            v = self.model.apply(
+                {"params": gen_params}, x_t, t, cond_tensors=cond_tensors,
+                cfg_dropout_prob=self.cfg_dropout_prob, train=True, rngs=rngs,
+            )
+            denoised = euler_step(x_t, v, t, jnp.zeros_like(t))
+            loss = jnp.mean(jnp.square(denoised - diff_states["target"]))
+            return loss, {"ode_mse_loss": loss, "loss": loss}
+
+        def step(state: ARCTrainState, diff_states, cond_tensors, rng):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.gen_params, diff_states, cond_tensors, rng
+            )
+            updates, new_opt = self.gen_optimizer.update(
+                grads, state.gen_opt_state, state.gen_params
+            )
+            new_params = optax.apply_updates(state.gen_params, updates)
+            new_ema = state.ema_params
+            if new_ema is not None:
+                new_ema = ema_update(new_ema, new_params, state.step)
+            return state.replace(step=state.step + 1, gen_params=new_params,
+                                 gen_opt_state=new_opt, ema_params=new_ema), aux
+
+        return step
+
+    # -- adversarial phases ---------------------------------------------------
+
+    def _gen_step_fn(self):
+        def loss_fn(gen_params, disc_params, head_params, latents, cond_tensors,
+                    rng):
+            B = latents.shape[0]
+            t = self.gen_noise_dist(jax.random.fold_in(rng, 0), B)
+            noise = jax.random.normal(jax.random.fold_in(rng, 1), latents.shape,
+                                      latents.dtype)
+            x_t = latents * (1 - t)[:, None, None] + noise * t[:, None, None]
+            rngs = {"cfg": jax.random.fold_in(rng, 2)}
+            v = self.model.apply(
+                {"params": gen_params}, x_t, t, cond_tensors=cond_tensors,
+                cfg_dropout_prob=self.cfg_dropout_prob, train=True, rngs=rngs,
+            )
+            denoised = euler_step(x_t, v, t, jnp.zeros_like(t))
+
+            t_gan = self.dis_noise_dist(jax.random.fold_in(rng, 3), B)
+            gan_noise = jax.random.normal(jax.random.fold_in(rng, 4),
+                                          denoised.shape, denoised.dtype)
+            x_t_gan = denoised * (1 - t_gan)[:, None, None] + gan_noise * t_gan[:, None, None]
+            x_t_gan_real = latents * (1 - t_gan)[:, None, None] + gan_noise * t_gan[:, None, None]
+
+            dp = jax.lax.stop_gradient(disc_params)
+            hp = jax.lax.stop_gradient(head_params)
+            fake_scores = self._head_scores(
+                hp, self._hidden_states({"params": dp}, x_t_gan, t_gan, cond_tensors)
+            )
+            real_scores = self._head_scores(
+                hp, self._hidden_states({"params": dp}, x_t_gan_real, t_gan,
+                                        cond_tensors)
+            )
+            loss_adv = jnp.mean(
+                jax.nn.softplus(real_scores - fake_scores)
+            ) * self.gen_gan_weight
+            return loss_adv, {
+                "loss": loss_adv, "adv_loss": loss_adv,
+                "gen_disc_scores_mean": jnp.mean(fake_scores),
+            }
+
+        def step(state: ARCTrainState, latents, cond_tensors, rng):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.gen_params, state.disc_params, state.head_params,
+                latents, cond_tensors, rng,
+            )
+            updates, new_opt = self.gen_optimizer.update(
+                grads, state.gen_opt_state, state.gen_params
+            )
+            new_params = optax.apply_updates(state.gen_params, updates)
+            new_ema = state.ema_params
+            if new_ema is not None:
+                new_ema = ema_update(new_ema, new_params, state.step)
+            return state.replace(step=state.step + 1, gen_params=new_params,
+                                 gen_opt_state=new_opt, ema_params=new_ema), aux
+
+        return step
+
+    def _disc_step_fn(self):
+        def loss_fn(disc_head_params, gen_params, latents, cond_tensors,
+                    rolled_cond_tensors, rng):
+            disc_params, head_params = disc_head_params
+            B = latents.shape[0]
+            t = self.gen_noise_dist(jax.random.fold_in(rng, 0), B)
+            noise = jax.random.normal(jax.random.fold_in(rng, 1), latents.shape,
+                                      latents.dtype)
+            x_t = latents * (1 - t)[:, None, None] + noise * t[:, None, None]
+            v = jax.lax.stop_gradient(self.model.apply(
+                {"params": jax.lax.stop_gradient(gen_params)}, x_t, t,
+                cond_tensors=cond_tensors,
+            ))
+            denoised = jax.lax.stop_gradient(euler_step(x_t, v, t, jnp.zeros_like(t)))
+
+            t_gan = self.dis_noise_dist(jax.random.fold_in(rng, 2), B)
+            gan_noise = jax.random.normal(jax.random.fold_in(rng, 3),
+                                          denoised.shape, denoised.dtype)
+            reals_t = latents * (1 - t_gan)[:, None, None] + gan_noise * t_gan[:, None, None]
+            fakes_t = denoised * (1 - t_gan)[:, None, None] + gan_noise * t_gan[:, None, None]
+
+            dv = {"params": disc_params}
+            scores_real = self._head_scores(
+                head_params, self._hidden_states(dv, reals_t, t_gan, cond_tensors)
+            )
+            scores_fake = self._head_scores(
+                head_params, self._hidden_states(dv, fakes_t, t_gan, cond_tensors)
+            )
+            loss_dis = jnp.mean(
+                jax.nn.softplus(-(scores_real - scores_fake))
+            ) * self.dis_gan_weight
+
+            aux = {
+                "loss_dis": loss_dis,
+                "disc_real_scores_mean": jnp.mean(scores_real),
+                "disc_fake_scores_mean": jnp.mean(scores_fake),
+            }
+            total = loss_dis
+
+            if self.include_grad_penalties:
+                # approximate R1/R2: score sensitivity to small input noise
+                eps = 0.05
+                nr = reals_t + eps * jax.random.normal(
+                    jax.random.fold_in(rng, 4), reals_t.shape, reals_t.dtype)
+                nf = fakes_t + eps * jax.random.normal(
+                    jax.random.fold_in(rng, 5), fakes_t.shape, fakes_t.dtype)
+                s_nr = self._head_scores(
+                    head_params, self._hidden_states(dv, nr, t_gan, cond_tensors))
+                s_nf = self._head_scores(
+                    head_params, self._hidden_states(dv, nf, t_gan, cond_tensors))
+                r1 = jnp.mean(jnp.sum((s_nr - scores_real) ** 2, axis=(1, 2)))
+                r2 = jnp.mean(jnp.sum((s_nf - scores_fake) ** 2, axis=(1, 2)))
+                gp = (r1 + r2) / 2
+                aux["grad_penalty_loss"] = gp
+                total = total + gp
+
+            if self.do_contrastive_disc and rolled_cond_tensors is not None:
+                scores_rolled = self._head_scores(
+                    head_params,
+                    self._hidden_states(dv, reals_t, t_gan, rolled_cond_tensors),
+                )
+                contrastive = jnp.mean(
+                    jax.nn.softplus(-(scores_real - scores_rolled))
+                ) * self.dis_gan_weight * self.contrastive_loss_weight
+                aux["contrastive_loss_dis"] = contrastive
+                total = total + contrastive
+
+            aux["loss"] = total
+            return total, aux
+
+        def step(state: ARCTrainState, latents, cond_tensors, rolled_cond_tensors,
+                 rng):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (state.disc_params, state.head_params), state.gen_params,
+                latents, cond_tensors, rolled_cond_tensors, rng,
+            )
+            updates, new_opt = self.disc_optimizer.update(
+                grads, state.disc_opt_state, (state.disc_params, state.head_params)
+            )
+            new_disc, new_head = optax.apply_updates(
+                (state.disc_params, state.head_params), updates
+            )
+            return state.replace(step=state.step + 1, disc_params=new_disc,
+                                 head_params=new_head, disc_opt_state=new_opt), aux
+
+        return step
+
+    # -- host dispatch ---------------------------------------------------------
+
+    def train_step(self, state: ARCTrainState, latents, cond_tensors, rng,
+                   step: int, rolled_cond_tensors=None):
+        if step < self.ode_warmup_steps:
+            if self._ode_cache is None or step % self.ode_refresh_rate == 0:
+                self._ode_cache = self._refresh_ode_states(
+                    state.gen_params, latents, cond_tensors,
+                    jax.random.fold_in(rng, 777),
+                )
+            key = "ode"
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(self._ode_step_fn())
+            return self._jit_cache[key](state, self._ode_cache, cond_tensors, rng)
+        if step % 2 == 0:
+            key = "gen"
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(self._gen_step_fn())
+            return self._jit_cache[key](state, latents, cond_tensors, rng)
+        key = "disc"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._disc_step_fn())
+        return self._jit_cache[key](
+            state, latents, cond_tensors, rolled_cond_tensors, rng
+        )

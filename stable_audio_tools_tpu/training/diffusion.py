@@ -308,6 +308,86 @@ class DiffusionCondTrainer:
         return val_step
 
 
+class DiffusionAutoencoderTrainer:
+    """Diffusion-AE training (reference training/diffusion.py:913-1078):
+    v-objective MSE on audio conditioned on encoded latents + bottleneck
+    losses; EMA on the full model."""
+
+    def __init__(self, model, lr: float = 1e-4, use_ema: bool = True,
+                 optimizer_configs: tp.Optional[dict] = None,
+                 use_reconstruction_loss: bool = False):
+        self.model = model
+        self.use_ema = use_ema
+        if optimizer_configs is None:
+            optimizer_configs = {
+                "diffusion": {"optimizer": {"type": "Adam", "config": {"lr": lr}}}
+            }
+        self.optimizer = build_optimizer(optimizer_configs["diffusion"])
+
+    def init_state(self, variables) -> TrainState:
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params)
+            if self.use_ema else None,
+            quantizer_state=variables.get("quantizer_state"),
+        )
+
+    def _loss(self, params, batch, rng):
+        model = self.model
+        reals = batch["audio"]
+        variables = {"params": params}
+        rngs = {"sample": jax.random.fold_in(rng, 0)}
+        latents, info = model.apply(
+            variables, reals, return_info=True, train=True, rngs=rngs,
+            method=model.encode,
+        )
+        B = reals.shape[0]
+        t = jax.random.uniform(jax.random.fold_in(rng, 1), (B,))
+        alphas, sigmas = get_alphas_sigmas(t)
+        alphas, sigmas = alphas[:, None, None], sigmas[:, None, None]
+        # diffusion operates at the pretransform latent rate if one exists
+        target_audio = reals
+        if model.pretransform is not None:
+            target_audio = model.apply(
+                variables, reals, rngs=rngs, method=model.pretransform_encode
+            )
+        noise = jax.random.normal(jax.random.fold_in(rng, 2),
+                                  target_audio.shape, target_audio.dtype)
+        noised = target_audio * alphas + noise * sigmas
+        targets = noise * alphas - target_audio * sigmas
+        v = model.apply(
+            variables, noised, t, latents, train=True, rngs=rngs,
+            method=model.diffusion_forward,
+        )
+        loss = jnp.mean(jnp.square(v - targets))
+        aux = {"loss": loss, "mse_loss": loss}
+        if "kl" in info:
+            kl = info["kl"] * 1e-6
+            loss = loss + kl
+            aux["kl_loss"] = kl
+            aux["loss"] = loss
+        return loss, aux
+
+    def make_train_step(self, accum_steps: int = 1):
+        def train_step(state: TrainState, batch, rng):
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                state.params, batch, rng
+            )
+            updates, new_opt = self.optimizer.update(grads, state.opt_state,
+                                                     state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if new_ema is not None:
+                new_ema = ema_update(new_ema, new_params, state.step)
+            return state.replace(step=state.step + 1, params=new_params,
+                                 opt_state=new_opt, ema_params=new_ema), aux
+
+        return train_step
+
+
 class DiffusionUncondTrainer(DiffusionCondTrainer):
     """Unconditional variant (reference :44-153): uniform t, v-objective."""
 

@@ -62,13 +62,16 @@ def create_training_wrapper_from_config(model_config: tp.Dict[str, tp.Any], mode
             else training_config.get("inpainting_config", None),
         )
     elif model_type == "diffusion_autoencoder":
-        from .diffusion import DiffusionUncondTrainer
+        from .diffusion import DiffusionAutoencoderTrainer
 
-        return DiffusionUncondTrainer(
+        return DiffusionAutoencoderTrainer(
             model,
             lr=training_config.get("learning_rate", 1e-4),
             use_ema=training_config.get("use_ema", True),
             optimizer_configs=training_config.get("optimizer_configs", None),
+            use_reconstruction_loss=training_config.get(
+                "use_reconstruction_loss", False
+            ),
         )
     elif model_type == "lm":
         from .lm import AudioLanguageModelTrainer
