@@ -128,11 +128,28 @@ def main():
         state = wrapper.init_state(variables)
 
     os.makedirs(args.save_dir, exist_ok=True)
+
+    demo_callback = None
+    demo_every = args.demo_every
+    demo_cfg = model_config.get("training", {}).get("demo", {})
+    if demo_every == 0 and demo_cfg.get("demo_every"):
+        demo_every = demo_cfg["demo_every"]
+    if demo_every:
+        from stable_audio_tools_tpu.training.demos import (
+            create_demo_callback_from_config,
+        )
+
+        demo_callback = create_demo_callback_from_config(
+            model_config, demo_dir=os.path.join(args.save_dir, "demos"),
+            demo_dl=dataloader,
+        )
+
     trainer = Trainer(
         wrapper, model, model_config,
         save_dir=args.save_dir,
         checkpoint_every=args.checkpoint_every,
-        demo_every=args.demo_every,
+        demo_every=demo_every,
+        demo_callback=demo_callback,
         max_steps=args.max_steps,
         accum_batches=args.accum_batches,
         seed=args.seed,
