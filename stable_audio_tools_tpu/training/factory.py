@@ -40,6 +40,44 @@ def create_training_wrapper_from_config(model_config: tp.Dict[str, tp.Any], mode
             optimizer_configs=training_config.get("optimizer_configs", None),
         )
     elif model_type in ("diffusion_cond", "diffusion_cond_inpaint"):
+        if "arc" in training_config:
+            # ARC post-training (reference training/factory.py:66-113)
+            from ..models.factory import create_model_from_config
+            from .arc import ARCTrainer
+
+            arc_config = training_config["arc"]
+            teacher_model_config = arc_config.get("teacher_model", None)
+            if teacher_model_config is None and arc_config.get(
+                "use_model_as_teacher", False
+            ):
+                teacher_model_config = model_config
+            teacher_model = (
+                create_model_from_config(teacher_model_config)
+                if teacher_model_config is not None else None
+            )
+            disc_config = arc_config.get("discriminator_base_model", None)
+            if disc_config is None and arc_config.get(
+                "use_model_as_discriminator", True
+            ):
+                disc_config = model_config
+            discriminator = create_model_from_config(disc_config)
+            return ARCTrainer(
+                model=model,
+                discriminator=discriminator,
+                arc_config=arc_config,
+                optimizer_configs=training_config.get("optimizer_configs", {
+                    "diffusion": {"optimizer": {"type": "AdamW", "config": {
+                        "lr": training_config.get("learning_rate", 1e-5)}}},
+                    "discriminator": {"optimizer": {"type": "AdamW", "config": {
+                        "lr": training_config.get("learning_rate", 1e-5)}}},
+                }),
+                teacher_model=teacher_model,
+                use_ema=training_config.get("use_ema", True),
+                pre_encoded=training_config.get("pre_encoded", False),
+                cfg_dropout_prob=training_config.get("cfg_dropout_prob", 0.1),
+                clip_grad_norm=training_config.get("clip_grad_norm", 0.0),
+            )
+
         from .diffusion import DiffusionCondTrainer
 
         return DiffusionCondTrainer(
