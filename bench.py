@@ -30,7 +30,8 @@ SMALL = "--small" in sys.argv
 if SMALL:
     SAMPLE_SIZE = 2 ** 16
     DIT = {"io_channels": 16, "embed_dim": 128, "depth": 2, "num_heads": 4,
-           "cond_token_dim": 128, "use_checkpointing": False}
+           "cond_token_dim": 128, "use_checkpointing": False,
+           "compute_dtype": "bfloat16"}
     VAE_CH, VAE_MULTS, VAE_STRIDES = 16, [1, 2], [8, 8]
     DOWN = 64
     LATENT = 16
@@ -38,7 +39,8 @@ if SMALL:
 else:
     SAMPLE_SIZE = 2097152  # ≈47.55 s @ 44.1 kHz
     DIT = {"io_channels": 64, "embed_dim": 1536, "depth": 24, "num_heads": 24,
-           "cond_token_dim": 768, "use_checkpointing": False}
+           "cond_token_dim": 768, "use_checkpointing": False,
+           "compute_dtype": "bfloat16"}
     VAE_CH, VAE_MULTS, VAE_STRIDES = 128, [1, 2, 4, 8, 16], [2, 4, 4, 8, 8]
     DOWN = 2048
     LATENT = 64
@@ -52,6 +54,7 @@ CONFIG = {
     "model": {
         "pretransform": {
             "type": "autoencoder",
+            "model_half": True,
             "config": {
                 "encoder": {"type": "oobleck", "config": {
                     "in_channels": 2, "channels": VAE_CH, "c_mults": VAE_MULTS,

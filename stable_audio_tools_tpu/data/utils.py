@@ -129,7 +129,14 @@ class VolumeNorm:
         energy = float(np.mean(signal ** 2))
         if energy < self.energy_threshold:
             return signal
-        input_loudness = measure_loudness_lufs(signal, self.sample_rate)
+        from .native import available, lufs_integrated
+
+        if available():
+            input_loudness = lufs_integrated(
+                np.ascontiguousarray(signal, np.float32), self.sample_rate
+            )
+        else:
+            input_loudness = measure_loudness_lufs(signal, self.sample_rate)
         target = self.value + random.uniform(*self.gain_range)
         gain = 10.0 ** ((target - input_loudness) / 20.0)
         out = gain * signal

@@ -16,6 +16,8 @@ from __future__ import annotations
 import math
 from typing import Literal, Optional, Tuple
 
+tp_Optional_str = Optional[str]
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -57,6 +59,9 @@ class DiffusionTransformer(nn.Module):
     timestep_cond_type: Literal["global", "input_concat"] = "global"
     timestep_embed_dim: Optional[int] = None
     diffusion_objective: Literal["v", "rectified_flow", "rf_denoiser"] = "v"
+    # compute dtype: "bfloat16" runs the transformer in bf16 (norms/softmax
+    # stay fp32 inside the blocks); params remain fp32. ~3x MXU throughput.
+    compute_dtype: tp_Optional_str = None
     # transformer kwargs
     use_checkpointing: bool = True
     layer_scale: bool = False
@@ -90,6 +95,19 @@ class DiffusionTransformer(nn.Module):
         exit_layer_ix=None,
     ):
         """x: [B, C, T] (reference layout); internal transformer runs NLC."""
+        in_dtype = x.dtype
+        if self.compute_dtype is not None:
+            cdt = jnp.dtype(self.compute_dtype)
+            x = x.astype(cdt)
+            t = t.astype(cdt)
+            cross_attn_cond = (cross_attn_cond.astype(cdt)
+                               if cross_attn_cond is not None else None)
+            input_concat_cond = (input_concat_cond.astype(cdt)
+                                 if input_concat_cond is not None else None)
+            global_embed = (global_embed.astype(cdt)
+                            if global_embed is not None else None)
+            prepend_cond = (prepend_cond.astype(cdt)
+                            if prepend_cond is not None else None)
         cond_embed_dim = (
             self.cond_token_dim if not self.project_cond_tokens else self.embed_dim
         )
@@ -216,6 +234,8 @@ class DiffusionTransformer(nn.Module):
             )
         out = Conv1d(self.io_channels, 1, zero_init=True, use_bias=False,
                      name="postprocess_conv")(jnp.swapaxes(out, 1, 2)).swapaxes(1, 2) + out
+        if self.compute_dtype is not None:
+            out = out.astype(in_dtype)
         if return_info:
             return out, info
         return out

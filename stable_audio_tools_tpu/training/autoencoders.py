@@ -472,6 +472,23 @@ class AutoencoderTrainer:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key](state, batch, rng)
 
+    def make_val_step(self, eval_loss_config: tp.Optional[dict] = None):
+        """Validation metrics (reference :268-365): STFT / SI-SDR / mel."""
+        from .losses.metrics import make_eval_metrics
+
+        metrics = make_eval_metrics(self.sample_rate, eval_loss_config)
+
+        def val_step(state: AEGanTrainState, reals, rng):
+            decoded, loss_info, _ = self._ae_forward(
+                state.gen_params, state.quantizer_state, reals, rng, train=False
+            )
+            out = {}
+            for name, fn in metrics.items():
+                out[f"val/{name}"] = fn(loss_info["decoded"], loss_info["reals"])
+            return out
+
+        return val_step
+
     def export_params(self, state: AEGanTrainState):
         """EMA-swapped export params (reference export_model :529-538)."""
         return state.ema_params if state.ema_params is not None else state.gen_params
