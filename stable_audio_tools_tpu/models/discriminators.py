@@ -406,6 +406,100 @@ class DACGANLoss(nn.Module):
         return dis_loss, adv_loss, fm
 
 
+class MultiScaleSubbandCQTDiscriminator(nn.Module):
+    """BigVGAN-v2-style CQT discriminator (reference discriminators.py:469-593).
+
+    Uses a pseudo-CQT: STFT magnitudes mapped through a log-frequency
+    (constant-Q) filterbank per scale, then 2D conv stacks — behaviorally
+    equivalent discrimination surface without the nnAudio CQT dependency.
+    """
+
+    sample_rate: int = 44100
+    channels: int = 1
+    filters: int = 32
+    hop_lengths: tp.Tuple[int, ...] = (512, 256, 256)
+    n_octaves: tp.Tuple[int, ...] = (9, 9, 9)
+    bins_per_octaves: tp.Tuple[int, ...] = (24, 36, 48)
+
+    def _cqt_filterbank(self, n_fft: int, n_bins: int, fmin: float):
+        import numpy as np
+
+        fft_freqs = np.linspace(0, self.sample_rate / 2, n_fft // 2 + 1)
+        centers = fmin * 2 ** (np.arange(n_bins) / (n_bins / 9))
+        centers = np.clip(centers, 1, self.sample_rate / 2 - 1)
+        fb = np.zeros((n_bins, len(fft_freqs)), np.float32)
+        for i, c in enumerate(centers):
+            bw = c * (2 ** (1 / 24) - 1) * 2 + 1e-3
+            fb[i] = np.exp(-0.5 * ((fft_freqs - c) / bw) ** 2)
+            fb[i] /= fb[i].sum() + 1e-8
+        return fb
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.stft import stft as _stft
+
+        logits, fmaps = [], []
+        B, C, T = x.shape
+        for si, hop in enumerate(self.hop_lengths):
+            n_fft = hop * 4
+            n_bins = self.n_octaves[si] * self.bins_per_octaves[si] // 4
+            fb = jnp.asarray(self._cqt_filterbank(n_fft, n_bins, 32.7))
+            flat = x.reshape(B * C, T)
+            spec = _stft(flat, n_fft, hop, n_fft)
+            mag = jnp.sqrt(jnp.clip(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2,
+                                    1e-8, None))
+            cqt = mag @ fb.T  # [B*C, frames, bins]
+            h = cqt.reshape(B, C, cqt.shape[-2], cqt.shape[-1])
+            h = jnp.log1p(h).transpose(0, 2, 3, 1)  # NHWC
+            fmap = []
+            for i in range(3):
+                h = WNConv2d(self.filters, (3, 9), stride=(1, 2 if i else 1),
+                             padding=(1, 4), name=f"scale{si}_conv_{i}")(h)
+                h = jax.nn.leaky_relu(h, 0.1)
+                fmap.append(h)
+            h = WNConv2d(1, (3, 3), padding=(1, 1), name=f"scale{si}_post")(h)
+            fmap.append(h)
+            logits.append(h)
+            fmaps.append(fmap)
+        return logits, fmaps
+
+    def loss(self, reals, fakes):
+        l_true, f_true = self(reals)
+        l_fake, f_fake = self(fakes)
+        dis_loss = 0.0
+        adv_loss = 0.0
+        fm = 0.0
+        for i in range(len(l_true)):
+            d, a = get_hinge_losses(l_true[i], l_fake[i])
+            dis_loss = dis_loss + d
+            adv_loss = adv_loss + a
+            fm = fm + sum(jnp.mean(jnp.abs(x - y))
+                          for x, y in zip(f_true[i], f_fake[i])) / len(f_true[i])
+        n = len(l_true)
+        return dis_loss / n, adv_loss / n, fm / n
+
+
+class BigVGANDiscriminator(nn.Module):
+    """MPD + multi-scale CQT bundle (reference discriminators.py:660-683)."""
+
+    channels: int = 1
+    sample_rate: int = 44100
+    periods: tp.Tuple[int, ...] = (2, 3, 5, 7, 11)
+
+    def setup(self):
+        self.mpd = OobleckDiscriminator(
+            in_channels=self.channels, n_scales=0, periods=self.periods,
+        )
+        self.cqt = MultiScaleSubbandCQTDiscriminator(
+            sample_rate=self.sample_rate, channels=self.channels,
+        )
+
+    def loss(self, reals, fakes):
+        d1, a1, f1 = self.mpd.loss(reals, fakes)
+        d2, a2, f2 = self.cqt.loss(reals, fakes)
+        return d1 + d2, a1 + a2, f1 + f2
+
+
 def create_discriminator_from_config(discriminator_config: tp.Dict[str, tp.Any]):
     d_type = discriminator_config.get("type", None)
     cfg = discriminator_config.get("config", {})

@@ -175,9 +175,16 @@ class AutoencoderTrainer:
                 self.discriminator = EncodecDiscriminator(in_channels=out_ch, **d_cfg)
             elif d_type == "oobleck":
                 self.discriminator = OobleckDiscriminator(in_channels=out_ch, **d_cfg)
-            elif d_type in ("dac", "big_vgan"):
+            elif d_type == "dac":
                 self.discriminator = DACGANLoss(
                     channels=out_ch, sample_rate=sample_rate, **d_cfg
+                )
+            elif d_type == "big_vgan":
+                from ..models.discriminators import BigVGANDiscriminator
+
+                self.discriminator = BigVGANDiscriminator(
+                    channels=out_ch, sample_rate=sample_rate,
+                    **{k: v for k, v in d_cfg.items() if k in ("periods",)},
                 )
             else:
                 raise ValueError(f"Unknown discriminator type {d_type}")

@@ -28,6 +28,8 @@ def create_demo_callback_from_config(model_config: dict, demo_dir: str = "demos"
     if model_type == "autoencoder":
         return AutoencoderDemoCallback(model_config, demo_dir, demo_config,
                                        demo_dl, logger)
+    if model_type == "lm":
+        return LMDemoCallback(model_config, demo_dir, demo_config, logger)
     return None
 
 
@@ -97,6 +99,38 @@ class DiffusionUncondDemoCallback(_DemoBase):
             sample_size=self.sample_size, seed=step,
         )
         self._save(np.asarray(audio), "demo", step)
+
+
+class LMDemoCallback(_DemoBase):
+    """AR-generate demo audio from the LM (reference training/lm.py:182-264)."""
+
+    def __call__(self, model, wrapper, state, step: int):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.lm import lm_generate_audio
+
+        variables = {"params": state.ema_params if state.ema_params is not None
+                     else state.params}
+        mc = getattr(model, "_multi_conditioner", None)
+        cond_tensors = None
+        if mc is not None:
+            demo_cond = self.demo_config.get("demo_cond", [{"prompt": "demo"}])
+            prepared = jax.tree_util.tree_map(
+                jnp.asarray, mc.gather_inputs(demo_cond)
+            )
+            cond_tensors = model.apply(variables, prepared,
+                                       method=model.run_conditioner)
+        max_gen_len = self.demo_config.get(
+            "demo_max_gen_len",
+            self.sample_size // model.min_input_length,
+        )
+        audio = lm_generate_audio(
+            model, variables, conditioning_tensors=cond_tensors,
+            max_gen_len=max_gen_len, rng=jax.random.PRNGKey(step),
+            cfg_scale=self.demo_config.get("demo_cfg_scale", None),
+        )
+        self._save(np.asarray(audio), "lm_demo", step)
 
 
 class AutoencoderDemoCallback(_DemoBase):

@@ -127,6 +127,40 @@ class StereoImageLoss(LossModule):
         )
 
 
+class TimeDomainMMDLoss(LossModule):
+    """Windowed time-domain MMD between real and decoded audio
+    (reference losses/losses.py:152-186 + losses/utils.py kernels)."""
+
+    def __init__(self, key_a: str, key_b: str, name: str, weight: float = 1.0,
+                 window_size: int = 256, stride: int = 128, **kwargs):
+        super().__init__(name=name, weight=weight, **kwargs)
+        self.key_a, self.key_b = key_a, key_b
+        self.window_size = window_size
+        self.stride = stride
+
+    def _windows(self, x):
+        B, C, T = x.shape
+        n = max((T - self.window_size) // self.stride + 1, 1)
+        idx = (jnp.arange(n)[:, None] * self.stride
+               + jnp.arange(self.window_size)[None, :])
+        w = x[:, :, idx]  # [B, C, n, W]
+        return w.reshape(-1, self.window_size)
+
+    def __call__(self, info, step=0):
+        a = self._windows(info[self.key_a])
+        b = self._windows(info[self.key_b])
+        # subsample windows for tractability
+        a = a[:512]
+        b = b[:512]
+
+        def mean_kernel(x, y):
+            d = jnp.mean((x[:, None] - y[None]) ** 2, axis=2) / x.shape[-1]
+            return jnp.mean(jnp.exp(-d))
+
+        mmd = mean_kernel(a, a) + mean_kernel(b, b) - 2 * mean_kernel(a, b)
+        return self.effective_weight(step) * mmd
+
+
 class MultiLoss:
     def __init__(self, losses: tp.Sequence[LossModule]):
         self.losses = list(losses)

@@ -39,7 +39,9 @@ class Trainer:
         use_mesh: bool = True,
         accum_batches: int = 1,
         seed: int = 42,
+        val_every: int = 0,
     ):
+        self.val_every = val_every
         self.wrapper = training_wrapper
         self.model = model
         self.model_config = model_config
@@ -126,6 +128,11 @@ class Trainer:
         if not is_gan:
             train_step = wrapper.make_train_step(accum_steps=self.accum_batches)
             train_step = jax.jit(train_step)
+        val_step = None
+        if self.val_every and val_dataloader is not None and hasattr(
+            wrapper, "make_val_step"
+        ):
+            val_step = jax.jit(wrapper.make_val_step())
 
         rng = jax.random.PRNGKey(self.seed + self.rank)
         step = int(np.asarray(state.step))
@@ -164,6 +171,19 @@ class Trainer:
                         self.demo_callback(self.model, self.wrapper, state, step)
                     except Exception as e:
                         print(f"Demo callback failed at step {step}: {e}")
+
+                if val_step is not None and step % self.val_every == 0:
+                    vals = []
+                    for v_audio, v_meta in val_dataloader:
+                        v_batch = self._prepare_batch(v_audio, v_meta)
+                        vals.append(val_step(state, v_batch,
+                                             jax.random.fold_in(rng, -step)))
+                    if vals and self.rank == 0:
+                        avg = {
+                            k: float(np.mean([float(v[k]) for v in vals]))
+                            for k in vals[0]
+                        }
+                        self.logger.log_metrics(avg, step=step)
 
             if self.max_steps is None:
                 # single-pass datasets keep cycling

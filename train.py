@@ -144,6 +144,18 @@ def main():
             demo_dl=dataloader,
         )
 
+    val_dataloader = None
+    if args.val_dataset_config and args.val_every > 0:
+        with open(args.val_dataset_config) as f:
+            val_cfg = json.load(f)
+        val_dataloader = create_dataloader_from_config(
+            val_cfg, batch_size=args.batch_size,
+            sample_size=model_config["sample_size"],
+            sample_rate=model_config["sample_rate"],
+            audio_channels=model_config.get("audio_channels", 2),
+            num_workers=args.num_workers, shuffle=False,
+        )
+
     trainer = Trainer(
         wrapper, model, model_config,
         save_dir=args.save_dir,
@@ -153,9 +165,11 @@ def main():
         max_steps=args.max_steps,
         accum_batches=args.accum_batches,
         seed=args.seed,
+        val_every=max(args.val_every, 0),
     )
     trainer.fit(dataloader, state=state,
-                ckpt_path=args.ckpt_path or None)
+                ckpt_path=args.ckpt_path or None,
+                val_dataloader=val_dataloader)
 
 
 if __name__ == "__main__":
