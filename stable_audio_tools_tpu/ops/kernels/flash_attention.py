@@ -31,7 +31,7 @@ NEG_INF = -1e30
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len,
                   causal, w_left, w_right, scale):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, D]
+    q = q_ref[0]  # [block_q, D] — keep input dtype (bf16 operands on the MXU)
     D = q.shape[-1]
 
     q_start = qi * block_q
@@ -59,9 +59,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len,
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        # bf16 operands, f32 accumulation on the MXU
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         # mask: positions + causal/window
         q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_ids = kb * block_k + jax.lax.broadcasted_iota(
@@ -79,9 +80,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len,
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)
+        p = jnp.exp(logits - m_new)  # f32
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+        )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((block_q, D), jnp.float32)
