@@ -330,6 +330,14 @@ def generate_diffusion_cond_inpaint(
         )
     else:
         init_latents = audio
+    # align init latents to the generation length
+    if init_latents.shape[-1] > latent_size:
+        init_latents = init_latents[..., :latent_size]
+    elif init_latents.shape[-1] < latent_size:
+        init_latents = jnp.pad(
+            init_latents,
+            ((0, 0), (0, 0), (0, latent_size - init_latents.shape[-1])),
+        )
 
     if mask_args is not None:
         mask = build_mask(sample_size, mask_args)

@@ -151,7 +151,10 @@ class ConditionedDiffusionModelWrapper(nn.Module):
         if cond_tensors is None:
             cond_tensors = self.run_conditioner(cond) if cond is not None else {}
         cond_kwargs = self.get_conditioning_inputs(cond_tensors) if cond_tensors else {}
-        return self.model(x, t, **cond_kwargs, **kwargs)
+        # explicit kwargs (e.g. inpainting input_concat_cond) override routing
+        merged = {**cond_kwargs, **{k: v for k, v in kwargs.items() if v is not None
+                                    or k not in cond_kwargs}}
+        return self.model(x, t, **merged)
 
     def init_full(self, x, t, cond=None, **kwargs):
         """Init entry that also builds pretransform params (decode+encode)."""
