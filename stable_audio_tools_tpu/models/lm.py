@@ -54,13 +54,25 @@ class AudioLanguageModel(nn.Module):
                 param_dtype=jnp.float32,
             )
             backbone_input = backbone_input + emb(sequence[:, i])
-        output = self.backbone(
-            backbone_input,
-            cross_attn_cond=cross_attn_cond,
-            prepend_cond=prepend_cond,
-            prepend_cond_mask=prepend_cond_mask,
-            **kwargs,
-        )
+        caches = kwargs.pop("caches", None)
+        cache_index = kwargs.pop("cache_index", None)
+        new_caches = None
+        if caches is not None:
+            output, new_caches = self.backbone(
+                backbone_input,
+                cross_attn_cond=cross_attn_cond,
+                caches=caches,
+                cache_index=cache_index,
+                **kwargs,
+            )
+        else:
+            output = self.backbone(
+                backbone_input,
+                cross_attn_cond=cross_attn_cond,
+                prepend_cond=prepend_cond,
+                prepend_cond_mask=prepend_cond_mask,
+                **kwargs,
+            )
         logits = jnp.stack(
             [
                 nn.Dense(self.codebook_size, name=f"quantizer_heads_{i}",
@@ -69,6 +81,8 @@ class AudioLanguageModel(nn.Module):
             ],
             axis=1,
         )  # [B, K, S, card]
+        if new_caches is not None:
+            return logits, new_caches
         return logits
 
 
@@ -153,11 +167,117 @@ class AudioLanguageModelWrapper(nn.Module):
         mask = jnp.asarray(pattern.reverse_map >= 0)[None]  # [1, K, T]
         return reverted, jnp.broadcast_to(mask, reverted.shape[:3])
 
+    def lm_forward(self, sequence, cross_attn_cond=None, cond_tensors=None,
+                   caches=None, cache_index=None, **kwargs):
+        """Direct LM forward (used by the cached decode path)."""
+        return self.lm(sequence, cross_attn_cond=cross_attn_cond,
+                       caches=caches, cache_index=cache_index, **kwargs)
+
     def pretransform_tokenize(self, audio):
         return self.pretransform.tokenize(audio)
 
     def pretransform_decode_tokens(self, tokens):
         return self.pretransform.decode_tokens(tokens)
+
+
+def lm_generate_cached(
+    model: AudioLanguageModelWrapper,
+    variables,
+    conditioning_tensors=None,
+    max_gen_len: int = 256,
+    batch_size: int = 1,
+    temp: float = 1.0,
+    top_k: int = 250,
+    top_p: float = 0.0,
+    cfg_scale: tp.Optional[float] = None,
+    rng=None,
+    init_codes=None,
+):
+    """KV-cached AR generation: O(S²) decode as one lax.scan program.
+
+    The reference exposes generation-cache hooks (lm_backbone.py:9-40); here
+    every layer carries an explicit KV cache updated via dynamic_update_slice.
+    """
+    from ..ops.attention import init_kv_cache
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    K = model.num_quantizers
+    card = model.codebook_size
+    masked = card
+    pattern = model.pattern_provider.get_pattern(max_gen_len)
+    S = pattern.S
+
+    cond_kwargs = (
+        model.get_conditioning_inputs(conditioning_tensors)
+        if conditioning_tensors else {}
+    )
+    if cond_kwargs.get("prepend_cond") is not None:
+        # cached decode doesn't support prepend conditioning; fall back
+        return lm_generate(
+            model, variables, conditioning_tensors, max_gen_len, batch_size,
+            temp, top_k, top_p, cfg_scale, rng, init_codes,
+        )
+    cross = cond_kwargs.get("cross_attn_cond")
+
+    use_cfg = cfg_scale is not None and cfg_scale != 1.0
+    B_eff = batch_size * (2 if use_cfg else 1)
+    if use_cfg and cross is not None:
+        cross = jnp.concatenate([cross, jnp.zeros_like(cross)], axis=0)
+
+    backbone = model.lm.backbone
+    embed_dim = backbone.embed_dim
+    num_heads = backbone.num_heads
+    depth = backbone.depth
+    caches = [
+        init_kv_cache(B_eff, num_heads, S, embed_dim // num_heads)
+        for _ in range(depth)
+    ]
+
+    gen_codes = jnp.full((batch_size, K, max_gen_len), masked, jnp.int32)
+    if init_codes is not None:
+        gen_codes = gen_codes.at[:, :, : init_codes.shape[-1]].set(init_codes)
+    gen_seq, _, _ = pattern.build_pattern_sequence(gen_codes, masked)
+    gen_seq = gen_seq.astype(jnp.int32)
+
+    def decode_token(seq_tok, caches, pos):
+        """seq_tok: [B, K, 1] token at position pos → (logits [B, K, card])."""
+        tok = jnp.concatenate([seq_tok, seq_tok], axis=0) if use_cfg else seq_tok
+        out = model.apply(
+            variables, tok, cross_attn_cond=cross, cond_tensors=None,
+            caches=caches, cache_index=pos, method=model.lm_forward,
+        )
+        logits, new_caches = out
+        logits = logits[:, :, 0, :]
+        if use_cfg:
+            cond_l, uncond_l = jnp.split(logits, 2, axis=0)
+            logits = uncond_l + (cond_l - uncond_l) * cfg_scale
+        return logits, new_caches
+
+    def body(carry, offset):
+        seq, caches, rng = carry
+        prev = jnp.maximum(offset - 1, 0)
+        tok = jax.lax.dynamic_slice_in_dim(seq, prev, 1, axis=2)
+        logits, caches = decode_token(tok, caches, prev)
+        step_logits = logits / max(temp, 1e-5)
+        probs = jax.nn.softmax(step_logits, axis=-1)
+        rng, sk = jax.random.split(rng)
+        if top_p > 0.0:
+            tokens = sample_top_p(probs, top_p, sk)[..., 0]
+        elif top_k > 0:
+            tokens = sample_top_k(probs, top_k, sk)[..., 0]
+        else:
+            tokens = multinomial(probs, 1, sk)[..., 0]
+        tokens = tokens.astype(jnp.int32)
+        current = jax.lax.dynamic_slice_in_dim(seq, offset, 1, axis=2)[:, :, 0]
+        new = jnp.where(current == masked, tokens, current)
+        seq = jax.lax.dynamic_update_slice_in_dim(seq, new[:, :, None], offset, axis=2)
+        return (seq, caches, rng), None
+
+    offsets = jnp.arange(1, S)
+    (gen_seq, _, _), _ = jax.lax.scan(body, (gen_seq, caches, rng), offsets)
+    codes, _, _ = pattern.revert_pattern_sequence(gen_seq, masked)
+    return jnp.clip(codes, 0, card - 1)
 
 
 def lm_generate(
@@ -246,9 +366,10 @@ def lm_generate(
 
 
 def lm_generate_audio(model, variables, conditioning_tensors=None, rng=None,
-                      **kwargs):
+                      use_cache=True, **kwargs):
     """generate + pretransform token decode (reference lm.py:457-472)."""
-    codes = lm_generate(model, variables, conditioning_tensors, rng=rng, **kwargs)
+    gen = lm_generate_cached if use_cache else lm_generate
+    codes = gen(model, variables, conditioning_tensors, rng=rng, **kwargs)
     # pretransform expects tokens [B, T, Q] (bottleneck layout)
     tokens = jnp.transpose(codes, (0, 2, 1))
     audio = model.apply(

@@ -28,12 +28,16 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x,  # [B, S, embed_dim]
+        x,  # [B, S, embed_dim] (or [B, 1, embed_dim] for cached decode)
         cross_attn_cond=None,
         prepend_cond=None,
         prepend_cond_mask=None,
         mask=None,
+        caches=None,
+        cache_index=None,
     ):
+        if caches is not None:
+            assert prepend_cond is None, "prepend conditioning unsupported in cached decode"
         prepend_length = 0
         prepend_embeds = None
         if prepend_cond is not None:
@@ -46,7 +50,7 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
                 self.embed_dim, name="to_cross_attn_embed", param_dtype=jnp.float32
             )(cross_attn_cond)
 
-        out = ContinuousTransformer(
+        transformer = ContinuousTransformer(
             dim=self.embed_dim,
             depth=self.depth,
             dim_heads=self.embed_dim // self.num_heads,
@@ -56,7 +60,13 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
             use_checkpointing=self.use_checkpointing,
             ff_mult=self.ff_mult,
             name="transformer",
-        )(
+        )
+        if caches is not None:
+            out, new_caches = transformer(
+                x, context=cross_attn_cond, caches=caches, cache_index=cache_index,
+            )
+            return out, new_caches
+        out = transformer(
             x,
             prepend_embeds=prepend_embeds,
             prepend_mask=prepend_cond_mask.astype(bool)

@@ -113,6 +113,36 @@ def _should_use_pallas(q, k, mask) -> bool:
     return q.shape[-2] >= 512 and q.shape[-2] == k.shape[-2] and q.shape[-1] in (64, 128)
 
 
+def init_kv_cache(batch: int, num_heads: int, max_len: int, dim_head: int,
+                  dtype=jnp.float32):
+    """Empty KV cache for incremental decoding."""
+    return {
+        "k": jnp.zeros((batch, num_heads, max_len, dim_head), dtype),
+        "v": jnp.zeros((batch, num_heads, max_len, dim_head), dtype),
+    }
+
+
+def cached_decode_attention(q, k_step, v_step, cache, index):
+    """One-token decode with a KV cache.
+
+    q/k_step/v_step: [B, H, 1, D]; cache: {'k','v': [B, H, S, D]};
+    index: scalar position. Returns (out [B, H, 1, D], new_cache).
+    """
+    k_cache = jax.lax.dynamic_update_slice(cache["k"], k_step.astype(cache["k"].dtype),
+                                           (0, 0, index, 0))
+    v_cache = jax.lax.dynamic_update_slice(cache["v"], v_step.astype(cache["v"].dtype),
+                                           (0, 0, index, 0))
+    S = k_cache.shape[2]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    pos = jnp.arange(S)[None, None, None, :]
+    logits = jnp.where(pos <= index, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v_cache)
+    return out, {"k": k_cache, "v": v_cache}
+
+
 class Attention(nn.Module):
     """Multi-head attention with GQA, qk-norm, rotary, differential attention."""
 
@@ -134,7 +164,9 @@ class Attention(nn.Module):
         causal: Optional[bool] = None,
         sliding_window: Optional[Tuple[int, int]] = None,
         mask: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        cache: Optional[dict] = None,
+        cache_index: Optional[jax.Array] = None,
+    ):
         dim = self.dim
         dim_kv = self.dim_context if self.dim_context is not None else dim
         h = dim // self.dim_heads
@@ -189,6 +221,29 @@ class Attention(nn.Module):
         elif self.qk_norm == "dyt":
             q = DynamicTanh(self.dim_heads, name="q_norm")(q)
             k = DynamicTanh(self.dim_heads, name="k_norm")(k)
+
+        if cache is not None:
+            # incremental decode: rotate q/k at the absolute cache position
+            if rotary_pos_emb is not None:
+                freqs_step = jax.lax.dynamic_slice_in_dim(
+                    rotary_pos_emb, cache_index, 1, axis=0
+                )
+                q = apply_rotary_pos_emb(q, freqs_step)
+                k = apply_rotary_pos_emb(k, freqs_step)
+            if h != kv_h:
+                rep = h // kv_h
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
+            out, new_cache = cached_decode_attention(q, k, v, cache, cache_index)
+            b, _, n, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
+            out = nn.Dense(
+                dim, use_bias=False, name="to_out", dtype=x.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros
+                if self.zero_init_output else nn.initializers.lecun_normal(),
+            )(out)
+            return out, new_cache
 
         if rotary_pos_emb is not None:
             # length-ratio frequency scaling for cross-attn (transformer.py:496-503)

@@ -133,7 +133,9 @@ class TransformerBlock(nn.Module):
         rotary_pos_emb: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         context_mask: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        cache: Optional[dict] = None,
+        cache_index: Optional[jax.Array] = None,
+    ):
         sliding_window = self.sliding_window
         dim_heads = min(self.dim_heads, self.dim)
         zero_init = self.zero_init_branch_outputs and not self.layer_scale
@@ -169,6 +171,27 @@ class TransformerBlock(nn.Module):
             zero_init_output=zero_init, name="ff",
         )
         ff_scale = make_scale("ff_scale")
+
+        if cache is not None:
+            # incremental decode step: x is [B, 1, dim]
+            attn_out, new_cache = self_attn(
+                pre_norm(x), rotary_pos_emb=rotary_pos_emb,
+                cache=cache, cache_index=cache_index,
+            )
+            x = x + self_attn_scale(attn_out)
+            if context is not None and self.cross_attend:
+                cross_norm = make_norm("cross_attend_norm")
+                cross_attn = Attention(
+                    dim=self.dim, dim_heads=dim_heads, dim_context=self.dim_context,
+                    causal=self.causal, zero_init_output=zero_init,
+                    qk_norm=self.qk_norm, name="cross_attn",
+                )
+                cross_scale = make_scale("cross_attn_scale")
+                x = x + cross_scale(
+                    cross_attn(cross_norm(x), context=context, mask=context_mask)
+                )
+            x = x + ff_scale(ff(ff_norm(x)))
+            return x, new_cache
 
         use_adaln = (
             self.global_cond_dim is not None
@@ -268,6 +291,8 @@ class ContinuousTransformer(nn.Module):
         mask: Optional[jax.Array] = None,
         return_info: bool = False,
         exit_layer_ix: Optional[int] = None,
+        caches: Optional[list] = None,
+        cache_index: Optional[jax.Array] = None,
     ):
         batch = x.shape[0]
         info = {"hidden_states": []}
@@ -305,9 +330,10 @@ class ContinuousTransformer(nn.Module):
 
         rope = None
         if self.rotary_pos_emb:
+            rope_len = caches[0]["k"].shape[2] if caches is not None else x.shape[1]
             rope = RotaryEmbedding(
                 dim=min(max(self.dim_heads // 2, 32), self.dim_heads)
-            )(x.shape[1])
+            )(rope_len)
 
         if self.use_sinusoidal_emb:
             x = x + ScaledSinusoidalEmbedding(self.dim, name="pos_emb")(x)
@@ -326,7 +352,7 @@ class ContinuousTransformer(nn.Module):
                                    param_dtype=jnp.float32)(h)
 
         block_cls = TransformerBlock
-        if self.use_checkpointing:
+        if self.use_checkpointing and caches is None:
             block_cls = nn.remat(
                 TransformerBlock,
                 static_argnums=(),
@@ -356,6 +382,15 @@ class ContinuousTransformer(nn.Module):
                 sliding_window=self.sliding_window,
                 name=f"layers_{i}",
             )
+            if caches is not None:
+                x, caches[i] = layer(
+                    x,
+                    context=context if should_cross_attend else None,
+                    rotary_pos_emb=rope,
+                    cache=caches[i],
+                    cache_index=cache_index,
+                )
+                continue
             x = layer(
                 x,
                 context=context if should_cross_attend else None,
@@ -376,6 +411,8 @@ class ContinuousTransformer(nn.Module):
         if self.dim_out is not None:
             x = nn.Dense(self.dim_out, use_bias=False, name="project_out", dtype=x.dtype,
                          param_dtype=jnp.float32)(x)
+        if caches is not None:
+            return x, caches
         if return_info:
             return x, info
         return x

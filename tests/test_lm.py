@@ -176,3 +176,21 @@ def test_lm_training_step(lm_setup):
         assert np.isfinite(losses[-1])
         assert "perplexity" in aux and "ce_q0" in aux
     assert losses[-1] < losses[0], losses
+
+
+def test_lm_generate_cached_matches_full(lm_setup):
+    from stable_audio_tools_tpu.models.lm import lm_generate_cached
+
+    model, variables, prepared = lm_setup
+    cond_tensors = model.apply(variables, prepared, method=model.run_conditioner)
+    kwargs = dict(conditioning_tensors=cond_tensors, max_gen_len=8,
+                  top_k=0, temp=1e-6, rng=jax.random.PRNGKey(0))
+    full = lm_generate(model, variables, **kwargs)
+    cached = lm_generate_cached(model, variables, **kwargs)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+
+    cached_cfg = lm_generate_cached(
+        model, variables, conditioning_tensors=cond_tensors, max_gen_len=8,
+        cfg_scale=2.0, top_k=16, rng=jax.random.PRNGKey(1),
+    )
+    assert cached_cfg.shape == (1, 1, 8)
