@@ -1,0 +1,228 @@
+"""Name/layout mapping between reference PyTorch checkpoints and our params.
+
+Covers the transformer stack (ContinuousTransformer), DiffusionTransformer
+(DiT) and the ConditionedDiffusionModelWrapper layout used by
+stable-audio-open-style checkpoints, plus the Oobleck autoencoder (see
+checkpoints.py). Both directions:
+
+- import_*: torch state dict → flax params (for loading published ckpts);
+- export_*: flax params → torch-layout state dict (so unwrap_model can emit
+  reference-compatible safetensors).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+from .checkpoints import (
+    torch_conv1d_weight,
+    torch_linear_weight,
+)
+
+
+def _lin(sd, name):
+    return {"kernel": torch_linear_weight(sd[f"{name}.weight"]).astype(np.float32)}
+
+
+def _lin_b(sd, name):
+    out = _lin(sd, name)
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return out
+
+
+def import_transformer_block(sd, prefix: str, cross_attend: bool) -> dict:
+    """reference models/transformer.py TransformerBlock → our TransformerBlock."""
+    p = {}
+    p["pre_norm"] = {"gamma": sd[f"{prefix}.pre_norm.gamma"].astype(np.float32)}
+    p["ff_norm"] = {"gamma": sd[f"{prefix}.ff_norm.gamma"].astype(np.float32)}
+    attn = {"to_qkv": _lin(sd, f"{prefix}.self_attn.to_qkv"),
+            "to_out": _lin(sd, f"{prefix}.self_attn.to_out")}
+    if f"{prefix}.self_attn.q_norm.weight" in sd:
+        attn["q_norm"] = {"scale": sd[f"{prefix}.self_attn.q_norm.weight"],
+                          "bias": sd[f"{prefix}.self_attn.q_norm.bias"]}
+        attn["k_norm"] = {"scale": sd[f"{prefix}.self_attn.k_norm.weight"],
+                          "bias": sd[f"{prefix}.self_attn.k_norm.bias"]}
+    p["self_attn"] = attn
+    if cross_attend and f"{prefix}.cross_attn.to_q.weight" in sd:
+        p["cross_attend_norm"] = {
+            "gamma": sd[f"{prefix}.cross_attend_norm.gamma"].astype(np.float32)
+        }
+        cattn = {"to_q": _lin(sd, f"{prefix}.cross_attn.to_q"),
+                 "to_kv": _lin(sd, f"{prefix}.cross_attn.to_kv"),
+                 "to_out": _lin(sd, f"{prefix}.cross_attn.to_out")}
+        if f"{prefix}.cross_attn.q_norm.weight" in sd:
+            cattn["q_norm"] = {"scale": sd[f"{prefix}.cross_attn.q_norm.weight"],
+                               "bias": sd[f"{prefix}.cross_attn.q_norm.bias"]}
+            cattn["k_norm"] = {"scale": sd[f"{prefix}.cross_attn.k_norm.weight"],
+                               "bias": sd[f"{prefix}.cross_attn.k_norm.bias"]}
+        p["cross_attn"] = cattn
+    # FeedForward: ff.ff.0 = GLU(proj), ff.ff.2 = linear_out
+    p["ff"] = {
+        "linear_in": {"proj": _lin_b(sd, f"{prefix}.ff.ff.0.proj")},
+        "linear_out": _lin_b(sd, f"{prefix}.ff.ff.2"),
+    }
+    if f"{prefix}.to_scale_shift_gate" in sd:
+        p["to_scale_shift_gate"] = sd[f"{prefix}.to_scale_shift_gate"].astype(
+            np.float32
+        )
+    return p
+
+
+def import_continuous_transformer(sd, prefix: str, depth: int,
+                                  cross_attend: bool) -> dict:
+    p = {}
+    if f"{prefix}.project_in.weight" in sd:
+        p["project_in"] = _lin(sd, f"{prefix}.project_in")
+    if f"{prefix}.project_out.weight" in sd:
+        p["project_out"] = _lin(sd, f"{prefix}.project_out")
+    for i in range(depth):
+        p[f"layers_{i}"] = import_transformer_block(
+            sd, f"{prefix}.layers.{i}", cross_attend
+        )
+    if f"{prefix}.global_cond_embedder.0.weight" in sd:
+        p["global_embed_0"] = _lin_b(sd, f"{prefix}.global_cond_embedder.0")
+        p["global_embed_1"] = _lin_b(sd, f"{prefix}.global_cond_embedder.2")
+    return p
+
+
+def import_dit(sd, prefix: str, depth: int, cross_attend: bool = True) -> dict:
+    """reference models/dit.py DiffusionTransformer → our DiffusionTransformer."""
+    p = {}
+    p["timestep_features"] = {
+        "weight": sd[f"{prefix}timestep_features.weight"].astype(np.float32)
+    }
+    p["to_timestep_embed_0"] = _lin_b(sd, f"{prefix}to_timestep_embed.0")
+    p["to_timestep_embed_2"] = _lin_b(sd, f"{prefix}to_timestep_embed.2")
+    for ours, theirs in [("to_cond_embed", "to_cond_embed"),
+                         ("to_global_embed", "to_global_embed"),
+                         ("to_prepend_embed", "to_prepend_embed")]:
+        if f"{prefix}{theirs}.0.weight" in sd:
+            p[ours] = {"0": _lin(sd, f"{prefix}{theirs}.0"),
+                       "2": _lin(sd, f"{prefix}{theirs}.2")}
+    p["preprocess_conv"] = {
+        "kernel": torch_conv1d_weight(sd[f"{prefix}preprocess_conv.weight"])
+    }
+    p["postprocess_conv"] = {
+        "kernel": torch_conv1d_weight(sd[f"{prefix}postprocess_conv.weight"])
+    }
+    p["transformer"] = import_continuous_transformer(
+        sd, f"{prefix}transformer", depth, cross_attend
+    )
+    return p
+
+
+def import_diffusion_cond_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
+    """Reference ConditionedDiffusionModelWrapper (DiT) ckpt → our variables.
+
+    Handles the 'model.model.' prefix of the wrapped layout and an optional
+    pretransform + conditioner projections.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dit_cfg = model.model.dit
+    params: dict = {"model": {"dit": import_dit(
+        sd, "model.model.", dit_cfg.depth, dit_cfg.cond_token_dim > 0
+    )}}
+
+    if model.pretransform is not None and any(
+        k.startswith("pretransform.") for k in sd
+    ):
+        from .checkpoints import import_oobleck_decoder, import_oobleck_encoder
+
+        ae = model.pretransform.model
+        params["pretransform"] = {"model": {
+            "encoder": import_oobleck_encoder(
+                sd, "pretransform.model.encoder.", len(ae.encoder.c_mults),
+                ae.encoder.use_snake,
+            ),
+            "decoder": import_oobleck_decoder(
+                sd, "pretransform.model.decoder.", len(ae.decoder.c_mults),
+                ae.decoder.use_snake,
+            ),
+        }}
+
+    # conditioner projections (e.g. t5 proj_out) — shape-matched partial load
+    cond_params = {}
+    for k, v in sd.items():
+        if k.startswith("conditioner.conditioners."):
+            parts = k.split(".")
+            cid = parts[2]
+            if parts[3] == "proj_out" and parts[-1] == "weight":
+                cond_params.setdefault(cid, {}).setdefault("proj", {})[
+                    "proj_out"
+                ] = {"kernel": torch_linear_weight(v)}
+            elif parts[3] == "proj_out" and parts[-1] == "bias":
+                cond_params.setdefault(cid, {}).setdefault("proj", {}).setdefault(
+                    "proj_out", {}
+                )["bias"] = v
+    if cond_params:
+        params["conditioner"] = cond_params
+
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+# ---------------------------------------------------------------------------
+# export: our params → torch-layout names (reference-compatible safetensors)
+# ---------------------------------------------------------------------------
+
+
+def export_transformer_block(p: dict, prefix: str, out: dict):
+    out[f"{prefix}.pre_norm.gamma"] = np.asarray(p["pre_norm"]["gamma"])
+    out[f"{prefix}.ff_norm.gamma"] = np.asarray(p["ff_norm"]["gamma"])
+    out[f"{prefix}.self_attn.to_qkv.weight"] = np.asarray(
+        p["self_attn"]["to_qkv"]["kernel"]).T
+    out[f"{prefix}.self_attn.to_out.weight"] = np.asarray(
+        p["self_attn"]["to_out"]["kernel"]).T
+    if "cross_attn" in p:
+        out[f"{prefix}.cross_attend_norm.gamma"] = np.asarray(
+            p["cross_attend_norm"]["gamma"])
+        for n in ("to_q", "to_kv", "to_out"):
+            out[f"{prefix}.cross_attn.{n}.weight"] = np.asarray(
+                p["cross_attn"][n]["kernel"]).T
+    out[f"{prefix}.ff.ff.0.proj.weight"] = np.asarray(
+        p["ff"]["linear_in"]["proj"]["kernel"]).T
+    if "bias" in p["ff"]["linear_in"]["proj"]:
+        out[f"{prefix}.ff.ff.0.proj.bias"] = np.asarray(
+            p["ff"]["linear_in"]["proj"]["bias"])
+    out[f"{prefix}.ff.ff.2.weight"] = np.asarray(p["ff"]["linear_out"]["kernel"]).T
+    if "bias" in p["ff"]["linear_out"]:
+        out[f"{prefix}.ff.ff.2.bias"] = np.asarray(p["ff"]["linear_out"]["bias"])
+    if "to_scale_shift_gate" in p:
+        out[f"{prefix}.to_scale_shift_gate"] = np.asarray(p["to_scale_shift_gate"])
+
+
+def export_dit_state_dict(dit_params: dict, prefix: str = "model.model.") -> dict:
+    out: dict = {}
+    p = dit_params
+    out[f"{prefix}timestep_features.weight"] = np.asarray(
+        p["timestep_features"]["weight"])
+    for i, ours in [(0, "to_timestep_embed_0"), (2, "to_timestep_embed_2")]:
+        out[f"{prefix}to_timestep_embed.{i}.weight"] = np.asarray(
+            p[ours]["kernel"]).T
+        if "bias" in p[ours]:
+            out[f"{prefix}to_timestep_embed.{i}.bias"] = np.asarray(p[ours]["bias"])
+    for name in ("to_cond_embed", "to_global_embed", "to_prepend_embed"):
+        if name in p:
+            for i in ("0", "2"):
+                out[f"{prefix}{name}.{i}.weight"] = np.asarray(
+                    p[name][i]["kernel"]).T
+    out[f"{prefix}preprocess_conv.weight"] = np.asarray(
+        p["preprocess_conv"]["kernel"]).transpose(2, 1, 0)
+    out[f"{prefix}postprocess_conv.weight"] = np.asarray(
+        p["postprocess_conv"]["kernel"]).transpose(2, 1, 0)
+    tp_ = p["transformer"]
+    if "project_in" in tp_:
+        out[f"{prefix}transformer.project_in.weight"] = np.asarray(
+            tp_["project_in"]["kernel"]).T
+    if "project_out" in tp_:
+        out[f"{prefix}transformer.project_out.weight"] = np.asarray(
+            tp_["project_out"]["kernel"]).T
+    for key in tp_:
+        if key.startswith("layers_"):
+            i = int(key.split("_")[1])
+            export_transformer_block(tp_[key], f"{prefix}transformer.layers.{i}", out)
+    return out

@@ -16,6 +16,9 @@ def main():
     p.add_argument("--ckpt-path", type=str, required=True)
     p.add_argument("--name", type=str, default="exported_model")
     p.add_argument("--use-safetensors", action="store_true")
+    p.add_argument("--reference-layout", action="store_true",
+                   help="export DiT weights with reference (PyTorch) tensor "
+                        "names/layouts for cross-framework compatibility")
     args = p.parse_args()
 
     import jax
@@ -84,6 +87,20 @@ def main():
 
     if args.use_safetensors:
         out = f"{args.name}.safetensors"
+        if args.reference_layout and model_type in ("diffusion_cond",
+                                                    "diffusion_cond_inpaint"):
+            import numpy as np
+            from safetensors.numpy import save_file
+
+            from stable_audio_tools_tpu.io.torch_mapping import (
+                export_dit_state_dict,
+            )
+
+            sd = export_dit_state_dict(params["model"]["dit"])
+            save_file({k: np.asarray(v) for k, v in sd.items()}, out,
+                      metadata={"model_config": json.dumps(model_config)})
+            print(f"Exported reference-layout model to {out}")
+            return
         export_safetensors(out, params, metadata={"model_config": json.dumps(model_config)})
     else:
         out = f"{args.name}.ckpt"
