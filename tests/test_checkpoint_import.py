@@ -163,3 +163,93 @@ def test_copy_state_dict_partial():
 def test_flatten_unflatten_roundtrip():
     tree = {"a": 1, "b": {"c": 2, "d": {"e": 3}}}
     assert unflatten_params(flatten_params(tree)) == tree
+
+
+def _torch_oobleck_decoder(out_ch=2, channels=8, c_mults=(1, 2), strides=(2, 4),
+                           latent_dim=4):
+    """Minimal torch replica of the reference OobleckDecoder layout."""
+    from torch.nn.utils import weight_norm as WNorm
+
+    class SnakeBeta(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.alpha = nn.Parameter(torch.zeros(ch))
+            self.beta = nn.Parameter(torch.zeros(ch))
+
+        def forward(self, x):
+            a = torch.exp(self.alpha)[None, :, None]
+            b = torch.exp(self.beta)[None, :, None]
+            return x + (1.0 / (b + 1e-9)) * torch.sin(x * a) ** 2
+
+    def WN(*args, **kw):
+        return WNorm(nn.Conv1d(*args, **kw))
+
+    def WNT(*args, **kw):
+        return WNorm(nn.ConvTranspose1d(*args, **kw))
+
+    class ResUnit(nn.Module):
+        def __init__(self, ch, dil):
+            super().__init__()
+            pad = (dil * 6) // 2
+            self.layers = nn.Sequential(
+                SnakeBeta(ch), WN(ch, ch, 7, dilation=dil, padding=pad),
+                SnakeBeta(ch), WN(ch, ch, 1),
+            )
+
+        def forward(self, x):
+            return x + self.layers(x)
+
+    class DecBlock(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.layers = nn.Sequential(
+                SnakeBeta(cin),
+                WNT(cin, cout, 2 * stride, stride=stride,
+                    padding=math.ceil(stride / 2)),
+                ResUnit(cout, 1), ResUnit(cout, 3), ResUnit(cout, 9),
+            )
+
+        def forward(self, x):
+            return self.layers(x)
+
+    cm = (1,) + tuple(c_mults)
+    depth = len(cm)
+    layers = [WN(latent_dim, cm[-1] * channels, 7, padding=3)]
+    for i in range(depth - 1, 0, -1):
+        layers.append(DecBlock(cm[i] * channels, cm[i - 1] * channels,
+                               strides[i - 1]))
+    layers += [SnakeBeta(cm[0] * channels),
+               WN(cm[0] * channels, out_ch, 7, padding=3, bias=False)]
+
+    class Dec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return torch.tanh(self.layers(x))
+
+    return Dec()
+
+
+def test_oobleck_decoder_import_parity():
+    torch.manual_seed(5)
+    tdec = _torch_oobleck_decoder()
+    z = torch.randn(1, 4, 16) * 0.3
+    ref = tdec(z).detach().numpy()
+
+    sd = {f"decoder.{k}": v for k, v in _sd(tdec).items()}
+
+    from stable_audio_tools_tpu.io.checkpoints import import_oobleck_decoder
+    from stable_audio_tools_tpu.models.autoencoders import OobleckDecoder
+
+    params = import_oobleck_decoder(sd, "decoder.", n_blocks=2, use_snake=True)
+    m = OobleckDecoder(out_channels=2, channels=8, latent_dim=4,
+                       c_mults=(1, 2), strides=(2, 4), use_snake=True,
+                       final_tanh=True)
+    out = m.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(z.numpy().transpose(0, 2, 1)),
+    )
+    out = np.asarray(out).transpose(0, 2, 1)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
