@@ -40,8 +40,10 @@ class Trainer:
         accum_batches: int = 1,
         seed: int = 42,
         val_every: int = 0,
+        profile_dir: tp.Optional[str] = None,
     ):
         self.val_every = val_every
+        self.profile_dir = profile_dir
         self.wrapper = training_wrapper
         self.model = model
         self.model_config = model_config
@@ -145,12 +147,17 @@ class Trainer:
                     break
                 batch = self._prepare_batch(audio, metadata)
                 step_rng = jax.random.fold_in(rng, step)
+                if self.profile_dir and step == 10:
+                    jax.profiler.start_trace(self.profile_dir)
                 if is_gan:
                     state, aux = wrapper.train_step(
                         state, batch["audio"], step_rng, step
                     )
                 else:
                     state, aux = train_step(state, batch, step_rng)
+                if self.profile_dir and step == 12:
+                    jax.block_until_ready(aux)
+                    jax.profiler.stop_trace()
                 step += 1
 
                 if step % self.log_every == 0 and self.rank == 0:

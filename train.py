@@ -53,6 +53,10 @@ def parse_args():
                    default=dget("gradient_clip_val", 0.0, float))
     p.add_argument("--logger", type=str, default=dget("logger", "jsonl"))
     p.add_argument("--demo-every", type=int, default=0)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host training")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="write a jax.profiler trace of steps 10-12 here")
     return p.parse_args()
 
 
@@ -62,6 +66,10 @@ def main():
     assert args.dataset_config, "--dataset-config is required"
 
     import jax
+
+    if args.multihost:
+        # multi-host DCN init (reference: SLURM + NCCL; here jax.distributed)
+        jax.distributed.initialize()
     import numpy as np
 
     from stable_audio_tools_tpu.data.dataset import create_dataloader_from_config
@@ -166,6 +174,7 @@ def main():
         accum_batches=args.accum_batches,
         seed=args.seed,
         val_every=max(args.val_every, 0),
+        profile_dir=args.profile_dir or None,
     )
     trainer.fit(dataloader, state=state,
                 ckpt_path=args.ckpt_path or None,
