@@ -280,13 +280,24 @@ class LocalTarDataset:
                 audio = np.load(io.BytesIO(data)).astype(np.float32)
         return audio, info
 
+    def _open_shard(self, shard):
+        if shard.startswith("s3://"):
+            # stream via `aws s3 cp - ` pipe (reference :362-456)
+            import subprocess
+
+            proc = subprocess.Popen(
+                ["aws", "s3", "cp", shard, "-"], stdout=subprocess.PIPE
+            )
+            return tarfile.open(fileobj=proc.stdout, mode="r|*")
+        return tarfile.open(shard)
+
     def __iter__(self):
         shards = list(self.shards)
         if self.shuffle:
             random.shuffle(shards)
         for shard in shards:
             try:
-                with tarfile.open(shard) as tf:
+                with self._open_shard(shard) as tf:
                     current_key = None
                     members: dict = {}
                     for member in tf:
@@ -454,8 +465,26 @@ def create_dataloader_from_config(
     elif dataset_type in ("wds", "s3", "tar"):
         shard_paths = []
         for ds in dataset_config.get("datasets", []):
-            path = ds["path"]
-            if os.path.isdir(path):
+            path = ds.get("path") or ds.get("s3_path")
+            if path.startswith("s3://"):
+                # list shards via the aws CLI (reference data/dataset.py:362-456)
+                import subprocess
+
+                try:
+                    out = subprocess.run(
+                        ["aws", "s3", "ls", "--recursive", path],
+                        capture_output=True, text=True, check=True, timeout=120,
+                    ).stdout
+                    bucket = path[5:].split("/")[0]
+                    for line in out.splitlines():
+                        key = line.split()[-1]
+                        if key.endswith(".tar"):
+                            shard_paths.append(f"s3://{bucket}/{key}")
+                except (FileNotFoundError, subprocess.SubprocessError) as e:
+                    raise RuntimeError(
+                        f"Cannot list {path}: aws CLI unavailable ({e})"
+                    )
+            elif os.path.isdir(path):
                 _, files = fast_scandir(path, [".tar"])
                 shard_paths.extend(files)
             else:

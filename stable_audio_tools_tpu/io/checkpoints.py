@@ -263,6 +263,31 @@ def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 
 
+def remove_weight_norm_from_model(params):
+    """Re-normalize WN params so g == ||v|| (reference models/utils.py:31).
+
+    Numerically a no-op at inference; it resets the weight-norm
+    reparameterization so subsequent fine-tuning behaves like a plain conv
+    (matching the reference's remove_weight_norm semantics for pretransforms).
+    """
+    import jax
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "v" in node and "g" in node and hasattr(node["v"], "ndim"):
+                v, g = node["v"], node["g"]
+                axes = tuple(range(v.ndim - 1)) if g.shape[0] == v.shape[-1] else None
+                if axes is not None:
+                    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+                    w = v * (g.reshape((1,) * (v.ndim - 1) + (-1,)) / norm)
+                    new_norm = jnp.sqrt(jnp.sum(jnp.square(w), axis=axes))
+                    return {**node, "v": w, "g": new_norm}
+            return {k: walk(vv) for k, vv in node.items()}
+        return node
+
+    return walk(params)
+
+
 # ---------------------------------------------------------------------------
 # native checkpoints
 # ---------------------------------------------------------------------------

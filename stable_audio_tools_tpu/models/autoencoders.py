@@ -185,6 +185,38 @@ class OobleckDecoder(nn.Module):
         return x
 
 
+def preprocess_audio_for_encoder(audio_list, in_sr_list, model):
+    """Host-side batch prep (reference autoencoders.py:548-599): resample to
+    the model rate, pad to a multiple of the downsampling ratio, fix channel
+    count, stack to [B, C, T]."""
+    import numpy as np
+
+    from ..data.resample import resample_poly_np
+    from ..inference.utils import set_audio_channels
+
+    processed = []
+    max_len = 0
+    for audio, in_sr in zip(audio_list, in_sr_list):
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        if in_sr != model.sample_rate:
+            audio = np.stack(
+                [resample_poly_np(ch, in_sr, model.sample_rate) for ch in audio]
+            )
+        max_len = max(max_len, audio.shape[-1])
+        processed.append(audio)
+    ratio = int(model.downsampling_ratio)
+    padded_len = ((max_len + ratio - 1) // ratio) * ratio
+    in_ch = model.in_channels or model.io_channels
+    batch = []
+    for audio in processed:
+        audio = np.pad(audio, ((0, 0), (0, padded_len - audio.shape[-1])))
+        audio = np.asarray(set_audio_channels(audio[None], in_ch))[0]
+        batch.append(audio)
+    return np.stack(batch)
+
+
 class TAAEBlock(nn.Module):
     """Conv stride block + sliding-window transformer stack (reference :91-230)."""
 

@@ -448,6 +448,57 @@ class CLAPAudioConditioner(CLAPTextConditioner):
         return {"features": feats}
 
 
+class SourceMixConditionerModule(nn.Module):
+    """Multi-stem projection-sum conditioner (reference :547-637): each named
+    source's pretransform latents are projected and summed into one signal."""
+
+    pretransform: tp.Any
+    output_dim: int
+    source_keys: tp.Tuple[str, ...]
+
+    @nn.compact
+    def __call__(self, mixes):
+        """mixes: [B, C, T] summed sources (host pre-mixed) → (cond, mask)."""
+        latents = self.pretransform.encode(mixes)
+        latents = jax.lax.stop_gradient(latents)
+        latents = jnp.swapaxes(latents, 1, 2)
+        out = nn.Dense(self.output_dim, name="proj", param_dtype=jnp.float32)(latents)
+        return jnp.swapaxes(out, 1, 2), jnp.ones(out.shape[:2], dtype=bool)
+
+
+class SourceMixConditioner(HostConditioner):
+    def __init__(self, cid, pretransform, output_dim, source_keys=("source",),
+                 source_length=None, **_):
+        super().__init__(cid)
+        self.pretransform = pretransform
+        self.output_dim = output_dim
+        self.source_keys = tuple(source_keys)
+        self.source_length = source_length
+
+    def prepare(self, values):
+        """values: list of dicts {source_key: audio} or raw audio arrays."""
+        mixes = []
+        for v in values:
+            if isinstance(v, dict):
+                stems = [np.asarray(v[k], np.float32) for k in self.source_keys
+                         if k in v]
+                if not stems and self.source_length:
+                    stems = [np.zeros((1, self.source_length), np.float32)]
+                mix = sum(stems)
+            else:
+                mix = np.asarray(v, np.float32)
+            if mix.ndim == 1:
+                mix = mix[None]
+            mixes.append(mix)
+        return {"mixes": np.stack(mixes)}
+
+    def make_module(self):
+        return SourceMixConditionerModule(
+            pretransform=self.pretransform, output_dim=self.output_dim,
+            source_keys=self.source_keys,
+        )
+
+
 class PretransformConditioner(HostConditioner):
     def __init__(self, cid, pretransform, output_dim, **_):
         super().__init__(cid)
@@ -589,6 +640,23 @@ def create_multi_conditioner_from_conditioning_config(
                 cond_pretransform = pretransform
             ccfg.pop("pretransform_ckpt_path", None)
             conditioners[cid] = PretransformConditioner(cid, cond_pretransform, **ccfg)
+        elif ctype == "source_mix":
+            from .factory import create_pretransform_from_config
+
+            sample_rate = ccfg.pop("sample_rate", None)
+            assert sample_rate is not None, (
+                "Sample rate must be specified for source_mix conditioners"
+            )
+            use_model_pretransform = ccfg.pop("use_model_pretransform", False)
+            if not use_model_pretransform:
+                cond_pretransform = create_pretransform_from_config(
+                    ccfg.pop("pretransform_config"), sample_rate=sample_rate
+                )
+            else:
+                assert pretransform is not None
+                cond_pretransform = pretransform
+            ccfg.pop("pretransform_ckpt_path", None)
+            conditioners[cid] = SourceMixConditioner(cid, cond_pretransform, **ccfg)
         else:
             raise ValueError(f"Unknown conditioner type: {ctype}")
 
