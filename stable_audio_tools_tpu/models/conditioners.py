@@ -392,10 +392,15 @@ class _FallbackTokenizer:
 
 
 class CLAPTextConditioner(HostConditioner):
-    """CLAP text features (reference :128-219). The laion-clap tower isn't in
-    the image; supports precomputed text embeddings (use_text_features=False
-    path → 512-d joint embeds) via a feature-extractor callback, else a
-    deterministic random-projection fallback for smoke testing."""
+    """CLAP text branch (reference :128-219): RoBERTa text tower → 512-d
+    joint-space projection (use_text_features=False) or raw hidden states at
+    feature_layer_ix (use_text_features=True).
+
+    Structure mirrors laion-clap (RoBERTa-base + 2-layer text_projection);
+    weights load from a local CLAP checkpoint when available (the laion-clap
+    package and HF assets aren't in this image). Without weights the tower is
+    random-init (warned) but keeps the full interface, and `set_embed_fn`
+    plugs in precomputed embeddings."""
 
     def __init__(self, cid, output_dim, clap_ckpt_path=None, use_text_features=False,
                  feature_layer_ix=-1, audio_model_type="HTSAT-base",
@@ -403,26 +408,83 @@ class CLAPTextConditioner(HostConditioner):
         super().__init__(cid)
         self.output_dim = output_dim
         self.use_text_features = use_text_features
+        self.feature_layer_ix = feature_layer_ix
         self.dim = 768 if use_text_features else 512
         self.project_out = project_out
+        self.clap_ckpt_path = clap_ckpt_path
         self._embed_fn = None  # pluggable: texts -> np.ndarray [B, dim]
+        self._tower = None
 
     def set_embed_fn(self, fn):
         self._embed_fn = fn
 
+    def _load_tower(self):
+        if self._tower is not None:
+            return self._tower
+        import jax
+
+        from transformers import FlaxRobertaModel, RobertaConfig
+
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained("roberta-base")
+        except Exception:
+            tokenizer = _FallbackTokenizer(77)
+        try:
+            model = FlaxRobertaModel.from_pretrained("roberta-base",
+                                                     dtype=jnp.bfloat16,
+                                                     from_pt=True)
+        except Exception as e:
+            logger.warning("CLAP RoBERTa weights unavailable (%s); random init", e)
+            cfg = RobertaConfig(num_hidden_layers=2, hidden_size=768,
+                                intermediate_size=1536, num_attention_heads=12)
+            model = FlaxRobertaModel(cfg, dtype=jnp.bfloat16)
+        # text_projection: Linear(768→512) → ReLU → Linear(512→512)
+        rng = np.random.RandomState(0)
+        proj_w1 = (rng.randn(768, 512) / np.sqrt(768)).astype(np.float32)
+        proj_w2 = (rng.randn(512, 512) / np.sqrt(512)).astype(np.float32)
+        if self.clap_ckpt_path:
+            try:
+                from ..io.checkpoints import load_ckpt_state_dict
+
+                sd = load_ckpt_state_dict(self.clap_ckpt_path)
+                sd = {k[7:] if k.startswith("module.") else k: v
+                      for k, v in sd.items()}
+                proj_w1 = sd["text_branch_projection.0.weight"].T
+                proj_w2 = sd["text_branch_projection.2.weight"].T
+            except Exception as e:
+                logger.warning("CLAP ckpt load failed (%s)", e)
+
+        encode = jax.jit(
+            lambda ids, mask: model.module.apply(
+                {"params": model.params}, input_ids=ids, attention_mask=mask,
+                output_hidden_states=True,
+            ).hidden_states[self.feature_layer_ix]
+        )
+        self._tower = (tokenizer, encode, jnp.asarray(proj_w1), jnp.asarray(proj_w2))
+        return self._tower
+
     def prepare(self, values):
         if self._embed_fn is not None:
             feats = np.asarray(self._embed_fn(list(values)), np.float32)
-        else:
-            rng = np.random.RandomState(0)
-            proj = rng.randn(64, self.dim).astype(np.float32) / 8.0
-            feats = np.stack([
-                proj[np.frombuffer(
-                    str(v).encode()[:64].ljust(64, b"\0"), dtype=np.uint8
-                ) % 64].mean(0)
-                for v in values
-            ])
-        return {"features": feats}
+            return {"features": feats}
+        tokenizer, encode, w1, w2 = self._load_tower()
+        enc = tokenizer(list(values), truncation=True, max_length=77,
+                        padding="max_length", return_tensors="np")
+        ids = jnp.asarray(enc["input_ids"], jnp.int32)
+        mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        hidden = encode(ids, mask).astype(jnp.float32)  # [B, L, 768]
+        if self.use_text_features:
+            return {
+                "features": np.asarray(hidden),
+            }
+        # laion-clap pooling: mean over valid tokens, then MLP to joint space
+        m = np.asarray(mask)[..., None].astype(np.float32)
+        pooled = (np.asarray(hidden) * m).sum(1) / np.clip(m.sum(1), 1, None)
+        x = np.maximum(pooled @ np.asarray(w1), 0.0)
+        feats = x @ np.asarray(w2)
+        return {"features": feats.astype(np.float32)}
 
     def make_module(self):
         return CLAPProjModule(self.dim, self.output_dim, self.project_out)
