@@ -457,7 +457,7 @@ class AudioAutoencoder(nn.Module):
 
     def encode_audio(self, audio, chunked=False, overlap=32, chunk_size=128, **kwargs):
         """audio: [B, C, T]. chunk_size/overlap measured in latents."""
-        if not chunked:
+        if not chunked or audio.shape[2] <= chunk_size * int(self.downsampling_ratio):
             return self.encode(audio, **kwargs)
         spl = int(self.downsampling_ratio)
         total = audio.shape[2]
@@ -474,7 +474,7 @@ class AudioAutoencoder(nn.Module):
 
     def decode_audio(self, latents, chunked=False, overlap=32, chunk_size=128, **kwargs):
         """latents: [B, latent_dim, S]. chunk_size/overlap measured in latents."""
-        if not chunked:
+        if not chunked or latents.shape[2] <= chunk_size:
             return self.decode(latents, **kwargs)
         spl = int(self.downsampling_ratio)
         total = latents.shape[2]

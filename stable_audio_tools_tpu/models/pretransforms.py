@@ -51,14 +51,20 @@ class AutoencoderPretransform(Pretransform):
 
     def encode(self, x, **kwargs):
         x = x.astype(jnp.bfloat16) if self.model_half else x
-        z = self.model.encode(x, **kwargs)
+        if self.chunked:
+            z = self.model.encode_audio(x, chunked=True, **kwargs)
+        else:
+            z = self.model.encode(x, **kwargs)
         z = z.astype(jnp.float32) if self.model_half else z
         return z / self.scale
 
     def decode(self, z, **kwargs):
         z = z * self.scale
         z = z.astype(jnp.bfloat16) if self.model_half else z
-        out = self.model.decode(z, **kwargs)
+        if self.chunked:
+            out = self.model.decode_audio(z, chunked=True, **kwargs)
+        else:
+            out = self.model.decode(z, **kwargs)
         return out.astype(jnp.float32) if self.model_half else out
 
     def tokenize(self, x, **kwargs):
