@@ -42,7 +42,7 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     audio_format, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_format = struct.unpack("<H", fmt[24:26])[0]
-    if audio_format == 3 or (audio_format == 1 and bits == 32 and False):
+    if audio_format == 3:  # IEEE float
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0

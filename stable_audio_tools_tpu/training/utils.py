@@ -122,6 +122,39 @@ class JSONLLogger:
             f.write(json.dumps(rec) + "\n")
 
 
+class WandbLogger:
+    """wandb logger (reference logger shims training/utils.py:104-129)."""
+
+    def __init__(self, project=None, name=None, config=None):
+        import wandb
+
+        self._wandb = wandb
+        self.run = wandb.init(project=project, name=name, config=config)
+
+    def log_metrics(self, metrics: dict, step: int = None):
+        self._wandb.log(metrics, step=step)
+
+    def log_audio(self, key, audio, sample_rate, caption=None, step=None):
+        self._wandb.log(
+            {key: self._wandb.Audio(audio, sample_rate=sample_rate,
+                                    caption=caption)},
+            step=step,
+        )
+
+    def log_image(self, key, image, step=None):
+        self._wandb.log({key: self._wandb.Image(image)}, step=step)
+
+
+def create_logger(logger_type: str, save_dir: str, project=None, name=None,
+                  config=None):
+    if logger_type == "wandb":
+        try:
+            return WandbLogger(project=project, name=name, config=config)
+        except ImportError:
+            print("wandb not installed; falling back to JSONL logging")
+    return JSONLLogger(os.path.join(save_dir, "train_log.jsonl"))
+
+
 def log_metric(logger, key, value, step=None):
     if logger is None:
         return

@@ -164,9 +164,15 @@ def main():
             num_workers=args.num_workers, shuffle=False,
         )
 
+    from stable_audio_tools_tpu.training.utils import create_logger
+
+    logger = create_logger(args.logger, args.save_dir, project=args.project,
+                           name=args.name, config=model_config)
+
     trainer = Trainer(
         wrapper, model, model_config,
         save_dir=args.save_dir,
+        logger=logger,
         checkpoint_every=args.checkpoint_every,
         demo_every=demo_every,
         demo_callback=demo_callback,
