@@ -118,10 +118,16 @@ class DiffusionAttnUnet1D(nn.Module):
     learned_resample: bool = False
     strides: Sequence[int] = tuple([2] * 13)
     conv_bias: bool = True
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, t, cond=None, cond_aug_scale=None, train=False):
         """x: [B, C, T] (reference layout). Returns [B, C, T]."""
+        in_dtype = x.dtype
+        if self.compute_dtype is not None:
+            x = x.astype(jnp.dtype(self.compute_dtype))
+            if cond is not None:
+                cond = cond.astype(x.dtype)
         xl = jnp.swapaxes(x, 1, 2)  # NLC
         B, T, _ = xl.shape
 
@@ -204,4 +210,7 @@ class DiffusionAttnUnet1D(nn.Module):
         h = conv(c0, c0, "tail_0")(h)
         h = conv(c0, c0, "tail_1")(h)
         h = conv(c0, self.io_channels, "tail_2", is_last=True)(h)
-        return jnp.swapaxes(h, 1, 2)
+        out = jnp.swapaxes(h, 1, 2)
+        if self.compute_dtype is not None:
+            out = out.astype(in_dtype)
+        return out

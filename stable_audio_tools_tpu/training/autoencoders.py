@@ -100,7 +100,10 @@ class AutoencoderTrainer:
         teacher_model=None,
         teacher_variables=None,
         clip_grad_norm: float = 0.0,
+        compute_dtype: tp.Optional[str] = None,
     ):
+        # bf16 forward compute (losses/grads stay fp32)
+        self.compute_dtype = compute_dtype
         self.autoencoder = autoencoder
         self.sample_rate = sample_rate
         self.warmup_steps = warmup_steps
@@ -327,6 +330,8 @@ class AutoencoderTrainer:
             encoder_input = encoder_input.mean(axis=1, keepdims=True)
         loss_info["encoder_input"] = encoder_input
 
+        if self.compute_dtype is not None:
+            encoder_input = encoder_input.astype(jnp.dtype(self.compute_dtype))
         mutable = ["quantizer_state"] if quantizer_state is not None and train else False
         enc_out = model.apply(
             variables, encoder_input, return_info=True, train=train,
@@ -361,6 +366,16 @@ class AutoencoderTrainer:
             variables, latents, train=train,
             rngs={"sample": jax.random.fold_in(rng, 4)}, method=model.decode,
         )
+        if self.compute_dtype is not None:
+            # losses and GAN heads run in fp32
+            decoded = decoded.astype(jnp.float32)
+            latents = latents.astype(jnp.float32)
+            loss_info = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "dtype") and a.dtype == jnp.dtype(self.compute_dtype)
+                else a,
+                loss_info,
+            )
         # trim to shortest (transpose-conv length drift)
         T = min(decoded.shape[-1], reals.shape[-1])
         decoded = decoded[..., :T]

@@ -28,6 +28,7 @@ def create_training_wrapper_from_config(model_config: tp.Dict[str, tp.Any], mode
             optimizer_configs=training_config.get("optimizer_configs", None),
             use_ema=training_config.get("use_ema", True),
             latent_mask_ratio=training_config.get("latent_mask_ratio", 0.0),
+            compute_dtype=training_config.get("compute_dtype", None),
         )
     elif model_type == "diffusion_uncond":
         from .diffusion import DiffusionUncondTrainer
