@@ -173,12 +173,40 @@ class L2Bottleneck(Bottleneck):
 # ---------------------------------------------------------------------------
 
 
+def _kmeans(data, k, iters):
+    """Lloyd k-means over data [N, C] → [k, C] centers (jit-safe, static iters).
+
+    Centers seeded by an even stride over the (already shuffled) batch; empty
+    clusters keep their previous center.
+    """
+    n = data.shape[0]
+    sel = jnp.round(jnp.linspace(0, n - 1, k)).astype(jnp.int32)
+    centers0 = data[sel]
+
+    def body(_, centers):
+        d = (
+            jnp.sum(data ** 2, axis=1, keepdims=True)
+            - 2 * data @ centers.T
+            + jnp.sum(centers ** 2, axis=1)[None]
+        )
+        assign = jnp.argmin(d, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=data.dtype)
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ data
+        return jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centers
+        )
+
+    return jax.lax.fori_loop(0, iters, body, centers0)
+
+
 class ResidualVQ(nn.Module):
     """Residual VQ with EMA codebook updates as explicit jit-safe state.
 
     vector-quantize-pytorch semantics: per-stage nearest-neighbor lookup,
-    EMA codebook update (decay 0.99 default), commitment loss per stage.
-    K-means init is replaced by normal init (dead codes revive via EMA).
+    EMA codebook update (decay 0.99 default), commitment loss per stage, and
+    optional lazy k-means init from the first training batch (an `initted`
+    flag in the state gates a lax.cond, so the k-means cost is paid once).
     Codebook state lives in the 'quantizer_state' variable collection and is
     updated only when that collection is mutable (i.e. during training).
     """
@@ -189,6 +217,8 @@ class ResidualVQ(nn.Module):
     decay: float = 0.99
     commitment_weight: float = 1.0
     eps: float = 1e-5
+    kmeans_init: bool = False
+    kmeans_iters: int = 10
 
     @nn.compact
     def __call__(self, x, train=False, n_quantizers: Optional[int] = None):
@@ -210,7 +240,13 @@ class ResidualVQ(nn.Module):
             "ema_sums",
             lambda: codebooks.value.copy(),
         )
+        initted = self.variable(
+            "quantizer_state",
+            "initted",
+            lambda: jnp.asarray(not self.kmeans_init),
+        )
         is_mutable = self.is_mutable_collection("quantizer_state")
+        was_initted = initted.value
 
         B, T, C = x.shape
         flat = x.reshape(-1, C)
@@ -221,6 +257,16 @@ class ResidualVQ(nn.Module):
         new_codebooks, new_counts, new_sums = [], [], []
         for q in range(self.num_quantizers):
             cb = codebooks.value[q]
+            if self.kmeans_init and train and is_mutable:
+                cb = jax.lax.cond(
+                    was_initted,
+                    lambda r, c: c,
+                    lambda r, c: _kmeans(
+                        jax.lax.stop_gradient(r), self.codebook_size, self.kmeans_iters
+                    ),
+                    residual,
+                    cb,
+                )
             d = (
                 jnp.sum(residual ** 2, axis=1, keepdims=True)
                 - 2 * residual @ cb.T
@@ -232,8 +278,13 @@ class ResidualVQ(nn.Module):
                 onehot = jax.nn.one_hot(idx, self.codebook_size, dtype=flat.dtype)
                 counts = jnp.sum(onehot, axis=0)
                 sums = onehot.T @ residual
-                c_new = ema_counts.value[q] * self.decay + counts * (1 - self.decay)
-                s_new = ema_sums.value[q] * self.decay + sums * (1 - self.decay)
+                # on the init step the EMA trackers restart from the fresh codebook
+                prev_counts = jnp.where(
+                    was_initted, ema_counts.value[q], jnp.ones(self.codebook_size)
+                )
+                prev_sums = jnp.where(was_initted, ema_sums.value[q], cb)
+                c_new = prev_counts * self.decay + counts * (1 - self.decay)
+                s_new = prev_sums * self.decay + sums * (1 - self.decay)
                 n = jnp.sum(c_new)
                 c_smoothed = (c_new + self.eps) / (n + self.codebook_size * self.eps) * n
                 cb_new = s_new / c_smoothed[:, None]
@@ -255,6 +306,7 @@ class ResidualVQ(nn.Module):
             codebooks.value = jnp.stack(new_codebooks)
             ema_counts.value = jnp.stack(new_counts)
             ema_sums.value = jnp.stack(new_sums)
+            initted.value = jnp.asarray(True)
 
         quantized = quantized_out.reshape(B, T, C)
         indices = jnp.stack(indices_list, axis=-1).reshape(B, T, self.num_quantizers)
@@ -275,12 +327,16 @@ class RVQBottleneck(Bottleneck):
     num_quantizers: int = 8
     is_discrete: bool = True
     tokens_id: str = "quantizer_indices"
+    kmeans_init: bool = True
+    kmeans_iters: int = 50
 
     def setup(self):
         self.quantizer = ResidualVQ(
             dim=self.dim,
             codebook_size=self.codebook_size,
             num_quantizers=self.num_quantizers,
+            kmeans_init=self.kmeans_init,
+            kmeans_iters=self.kmeans_iters,
         )
 
     def encode(self, x, return_info=False, train=False):
@@ -303,12 +359,16 @@ class RVQVAEBottleneck(Bottleneck):
     num_quantizers: int = 8
     is_discrete: bool = True
     tokens_id: str = "quantizer_indices"
+    kmeans_init: bool = True
+    kmeans_iters: int = 50
 
     def setup(self):
         self.quantizer = ResidualVQ(
             dim=self.dim,
             codebook_size=self.codebook_size,
             num_quantizers=self.num_quantizers,
+            kmeans_init=self.kmeans_init,
+            kmeans_iters=self.kmeans_iters,
         )
 
     def encode(self, x, return_info=False, train=False):

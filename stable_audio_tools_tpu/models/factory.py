@@ -2,8 +2,8 @@
 
 Mirrors reference stable_audio_tools/models/factory.py: the same JSON schema
 (model_type, pretransform/bottleneck/encoder/decoder type+config sub-dicts)
-builds the equivalent flax modules. Unsupported torch-specific kwargs
-(kmeans_init etc.) are accepted and ignored so reference configs run as-is.
+builds the equivalent flax modules. Unsupported torch-specific kwargs are
+accepted and ignored so reference configs run as-is.
 """
 
 from __future__ import annotations

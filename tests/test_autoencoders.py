@@ -177,6 +177,42 @@ def test_rvq_ema_state_updates():
     assert idx.shape == (8, 32, 2)
 
 
+def test_rvq_kmeans_init():
+    """First train step k-means-inits codebooks from the batch; flag flips once."""
+    from stable_audio_tools_tpu.models.bottleneck import ResidualVQ, _kmeans
+
+    q = ResidualVQ(dim=4, codebook_size=8, num_quantizers=2, kmeans_init=True,
+                   kmeans_iters=20)
+    x = jnp.asarray(np.random.RandomState(7).randn(4, 64, 4).astype(np.float32))
+    variables = q.init(jax.random.PRNGKey(0), x, train=False)
+    assert not bool(variables["quantizer_state"]["initted"])
+
+    (out, idx, loss), updates = q.apply(
+        variables, x, train=True, mutable=["quantizer_state"]
+    )
+    assert bool(updates["quantizer_state"]["initted"])
+    # stage-0 codebook should be ~the k-means centers of the batch (one EMA step in)
+    centers = np.asarray(_kmeans(x.reshape(-1, 4), 8, 20))
+    cb0 = np.asarray(updates["quantizer_state"]["codebooks"][0])
+    d = np.linalg.norm(cb0[:, None] - centers[None], axis=-1).min(axis=1)
+    assert d.max() < 0.5, f"codebook far from k-means centers: {d.max()}"
+
+    # second step must NOT re-init: codebooks only move by the small EMA amount
+    variables2 = {"quantizer_state": updates["quantizer_state"]}
+    (_, _, _), updates2 = q.apply(
+        variables2, x, train=True, mutable=["quantizer_state"]
+    )
+    drift = np.abs(
+        np.asarray(updates2["quantizer_state"]["codebooks"]) -
+        np.asarray(updates["quantizer_state"]["codebooks"])
+    ).max()
+    assert drift < 0.5
+
+    # eval path never mutates
+    out_eval, idx_eval, _ = q.apply(variables2, x, train=False)
+    assert out_eval.shape == x.shape
+
+
 def test_dac_seanet_encoders():
     from stable_audio_tools_tpu.models.dac import DACDecoder, DACEncoder
     from stable_audio_tools_tpu.models.seanet import SEANetDecoder, SEANetEncoder
