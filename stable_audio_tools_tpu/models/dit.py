@@ -316,70 +316,89 @@ class DiffusionTransformer(nn.Module):
                 return_info=return_info,
             )
 
-        # batch-doubled CFG
-        batch_inputs = jnp.concatenate([x, x], axis=0)
-        batch_timestep = jnp.concatenate([t, t], axis=0)
-        batch_global = (
-            jnp.concatenate([global_embed, global_embed], axis=0)
-            if global_embed is not None else None
-        )
-        batch_input_concat = (
-            jnp.concatenate([input_concat_cond, input_concat_cond], axis=0)
-            if input_concat_cond is not None else None
-        )
-        batch_cond = None
-        if cross_attn_cond is not None:
-            null_embed = jnp.zeros_like(cross_attn_cond)
-            if negative_cross_attn_cond is not None:
-                if negative_cross_attn_mask is not None:
-                    m = negative_cross_attn_mask.astype(bool)[:, :, None]
-                    negative_cross_attn_cond = jnp.where(
-                        m, negative_cross_attn_cond, null_embed
-                    )
-                batch_cond = jnp.concatenate(
-                    [cross_attn_cond, negative_cross_attn_cond], axis=0
-                )
-            else:
-                batch_cond = jnp.concatenate([cross_attn_cond, null_embed], axis=0)
-        batch_prepend_cond = None
-        batch_prepend_mask = None
-        if prepend_cond is not None:
-            batch_prepend_cond = jnp.concatenate(
-                [prepend_cond, jnp.zeros_like(prepend_cond)], axis=0
+        # batch-doubled CFG (runs 2B through the stack; returns cfg-combined B)
+        def _run_cfg(mod):
+            batch_inputs = jnp.concatenate([x, x], axis=0)
+            batch_timestep = jnp.concatenate([t, t], axis=0)
+            batch_global = (
+                jnp.concatenate([global_embed, global_embed], axis=0)
+                if global_embed is not None else None
             )
-            if prepend_cond_mask is not None:
-                batch_prepend_mask = jnp.concatenate(
-                    [prepend_cond_mask, prepend_cond_mask], axis=0
+            batch_input_concat = (
+                jnp.concatenate([input_concat_cond, input_concat_cond], axis=0)
+                if input_concat_cond is not None else None
+            )
+            batch_cond = None
+            if cross_attn_cond is not None:
+                null_embed = jnp.zeros_like(cross_attn_cond)
+                neg = negative_cross_attn_cond
+                if neg is not None:
+                    if negative_cross_attn_mask is not None:
+                        m = negative_cross_attn_mask.astype(bool)[:, :, None]
+                        neg = jnp.where(m, neg, null_embed)
+                    batch_cond = jnp.concatenate([cross_attn_cond, neg], axis=0)
+                else:
+                    batch_cond = jnp.concatenate([cross_attn_cond, null_embed], axis=0)
+            batch_prepend_cond = None
+            batch_prepend_mask = None
+            if prepend_cond is not None:
+                batch_prepend_cond = jnp.concatenate(
+                    [prepend_cond, jnp.zeros_like(prepend_cond)], axis=0
                 )
+                if prepend_cond_mask is not None:
+                    batch_prepend_mask = jnp.concatenate(
+                        [prepend_cond_mask, prepend_cond_mask], axis=0
+                    )
 
-        batch_output = self._forward(
-            batch_inputs, batch_timestep,
-            cross_attn_cond=batch_cond,
-            cross_attn_cond_mask=None,
-            input_concat_cond=batch_input_concat,
-            global_embed=batch_global,
-            prepend_cond=batch_prepend_cond,
-            prepend_cond_mask=batch_prepend_mask,
-            return_info=return_info,
-        )
-        info = None
-        if return_info:
-            batch_output, info = batch_output
+            batch_output = mod._forward(
+                batch_inputs, batch_timestep,
+                cross_attn_cond=batch_cond,
+                cross_attn_cond_mask=None,
+                input_concat_cond=batch_input_concat,
+                global_embed=batch_global,
+                prepend_cond=batch_prepend_cond,
+                prepend_cond_mask=batch_prepend_mask,
+                return_info=return_info,
+            )
+            info = None
+            if return_info:
+                batch_output, info = batch_output
 
-        cond_output, uncond_output = jnp.split(batch_output, 2, axis=0)
-        cfg_output = uncond_output + (cond_output - uncond_output) * cfg_scale
+            cond_output, uncond_output = jnp.split(batch_output, 2, axis=0)
+            cfg_output = uncond_output + (cond_output - uncond_output) * cfg_scale
 
-        if scale_phi != 0.0:
-            cond_out_std = jnp.std(cond_output, axis=1, keepdims=True)
-            out_cfg_std = jnp.std(cfg_output, axis=1, keepdims=True)
-            output = scale_phi * (cfg_output * (cond_out_std / (out_cfg_std + 1e-12))) + (
-                1 - scale_phi
-            ) * cfg_output
-        else:
-            output = cfg_output
+            if scale_phi != 0.0:
+                cond_out_std = jnp.std(cond_output, axis=1, keepdims=True)
+                out_cfg_std = jnp.std(cfg_output, axis=1, keepdims=True)
+                output = scale_phi * (
+                    cfg_output * (cond_out_std / (out_cfg_std + 1e-12))
+                ) + (1 - scale_phi) * cfg_output
+            else:
+                output = cfg_output
+            return output, cond_output, uncond_output, info
 
-        # cfg_interval gate: outside [lo, hi] fall back to the cond output
         lo, hi = cfg_interval
+        if (lo, hi) != (0.0, 1.0) and not return_info:
+            # Compute splitting: outside [lo, hi] only the single cond forward
+            # runs (lax.cond picks one branch at runtime), halving the FLOPs of
+            # gated steps vs. the reference's always-doubled batch.
+            in_interval = jnp.logical_and(sigma[0] >= lo, sigma[0] <= hi)
+            return nn.cond(
+                in_interval,
+                lambda mod: _run_cfg(mod)[0],
+                lambda mod: mod._forward(
+                    x, t,
+                    cross_attn_cond=cross_attn_cond,
+                    cross_attn_cond_mask=None,
+                    input_concat_cond=input_concat_cond,
+                    global_embed=global_embed,
+                    prepend_cond=prepend_cond,
+                    prepend_cond_mask=prepend_cond_mask,
+                ),
+                self,
+            )
+
+        output, cond_output, uncond_output, info = _run_cfg(self)
         if (lo, hi) != (0.0, 1.0):
             in_interval = jnp.logical_and(sigma[0] >= lo, sigma[0] <= hi)
             output = jnp.where(in_interval, output, cond_output)

@@ -113,6 +113,40 @@ def test_cond_model_forward_with_cfg(cond_model):
     assert np.all(np.isfinite(np.asarray(out_cfg)))
 
 
+def test_cfg_interval_compute_split(cond_model):
+    """cfg_interval uses lax.cond: inside → full CFG, outside → cond-only."""
+    model, variables = cond_model
+    mc = model._multi_conditioner
+    prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(CONDITIONING))
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 4, 64).astype(np.float32))
+
+    # perturb params: branch outputs are zero-init, so at init the output is
+    # (correctly) independent of conditioning and CFG would be a no-op
+    leaves, tree = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    variables = jax.tree_util.tree_unflatten(tree, [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        if jnp.issubdtype(l.dtype, jnp.floating) else l
+        for l, k in zip(leaves, keys)
+    ])
+
+    def run(t_val, **kw):
+        return np.asarray(model.apply(
+            variables, x, jnp.full((1,), t_val), cond=prepared, **kw
+        ))
+
+    interval = (0.2, 0.8)
+    # inside the interval (v-objective: sigma = sin(t*pi/2); t=0.5 → σ≈0.707)
+    inside = run(0.5, cfg_scale=3.0, cfg_interval=interval)
+    full_cfg = run(0.5, cfg_scale=3.0)
+    np.testing.assert_allclose(inside, full_cfg, rtol=1e-5, atol=1e-6)
+    # outside (t=0.05 → σ≈0.078 < 0.2) falls back to the cond-only forward
+    outside = run(0.05, cfg_scale=3.0, cfg_interval=interval)
+    cond_only = run(0.05, cfg_scale=1.0)
+    np.testing.assert_allclose(outside, cond_only, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(outside, run(0.05, cfg_scale=3.0))
+
+
 def test_conditioning_tensors_shapes(cond_model):
     model, variables = cond_model
     tensors = compute_conditioning_tensors(model, variables, CONDITIONING)
