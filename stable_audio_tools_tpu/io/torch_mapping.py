@@ -145,22 +145,52 @@ def import_diffusion_cond_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dic
             ),
         }}
 
-    # conditioner projections (e.g. t5 proj_out) — shape-matched partial load
-    cond_params = {}
-    for k, v in sd.items():
-        if k.startswith("conditioner.conditioners."):
-            parts = k.split(".")
-            cid = parts[2]
-            if parts[3] == "proj_out" and parts[-1] == "weight":
-                cond_params.setdefault(cid, {}).setdefault("proj", {})[
-                    "proj_out"
-                ] = {"kernel": torch_linear_weight(v)}
-            elif parts[3] == "proj_out" and parts[-1] == "bias":
-                cond_params.setdefault(cid, {}).setdefault("proj", {}).setdefault(
-                    "proj_out", {}
-                )["bias"] = v
+    # conditioner modules: learnable embedders + proj_out projections. Flax
+    # names each bank entry 'modules_{cid}' (ConditionerBank.modules dict).
+    cond_params: dict = {}
+
+    def _mod(cid):
+        return cond_params.setdefault(f"modules_{cid}", {})
+
+    cids = {k.split(".")[2] for k in sd if k.startswith("conditioner.conditioners.")}
+    for cid in sorted(cids):
+        pfx = f"conditioner.conditioners.{cid}."
+        # Conditioner.proj_out (reference conditioners.py:30)
+        if f"{pfx}proj_out.weight" in sd:
+            po = {"kernel": torch_linear_weight(sd[f"{pfx}proj_out.weight"])}
+            if f"{pfx}proj_out.bias" in sd:
+                po["bias"] = sd[f"{pfx}proj_out.bias"].astype(np.float32)
+            _mod(cid)["proj"] = {"proj_out": po}
+        # NumberConditioner → NumberEmbedder(TimePositionalEmbedding)
+        # (reference adp.py:1455-1474, conditioners.py:58-91)
+        if f"{pfx}embedder.embedding.0.weights" in sd:
+            _mod(cid)["embedder"] = {
+                "weights": sd[f"{pfx}embedder.embedding.0.weights"].astype(np.float32),
+                "to_out": _lin_b(sd, f"{pfx}embedder.embedding.1"),
+            }
+        # IntConditioner (reference conditioners.py:35-45)
+        if f"{pfx}int_embedder.weight" in sd:
+            _mod(cid)["int_embedder"] = {
+                "embedding": sd[f"{pfx}int_embedder.weight"].astype(np.float32)
+            }
+        # ListConditioner (reference conditioners.py:93-112)
+        if f"{pfx}embedder.weight" in sd:
+            _mod(cid)["embedder"] = {
+                "embedding": sd[f"{pfx}embedder.weight"].astype(np.float32)
+            }
     if cond_params:
         params["conditioner"] = cond_params
+
+    # frozen host-side towers (T5): hand the torch weights to the host
+    # conditioner so generation uses the checkpoint's encoder, not random init
+    mc = getattr(model, "_multi_conditioner", None)
+    if mc is not None:
+        for cid, host_cond in mc.conditioners.items():
+            pfx = f"conditioner.conditioners.{cid}.model."
+            if hasattr(host_cond, "load_torch_state_dict") and any(
+                k.startswith(pfx) for k in sd
+            ):
+                host_cond.load_torch_state_dict(sd, pfx)
 
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 

@@ -358,6 +358,53 @@ class T5Conditioner(HostConditioner):
             ).last_hidden_state
         )
 
+    def load_torch_state_dict(self, sd, prefix: str):
+        """Load the frozen T5 tower from a reference checkpoint's torch weights
+        (keys 'conditioner.conditioners.{id}.model.*'), so zero-egress
+        environments still get the real encoder. Config is derived from the
+        weight shapes; tokenizer falls back to the hash tokenizer if HF assets
+        are unreachable."""
+        import torch
+        from transformers import AutoTokenizer, FlaxT5EncoderModel, T5Config
+        from transformers.modeling_flax_pytorch_utils import (
+            convert_pytorch_state_dict_to_flax,
+        )
+
+        pt = {k[len(prefix):]: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in sd.items() if k.startswith(prefix)}
+        if "shared.weight" not in pt:
+            return False
+        blocks = [int(k.split(".")[2]) for k in pt if k.startswith("encoder.block.")]
+        rab = pt["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+        q = pt["encoder.block.0.layer.0.SelfAttention.q.weight"]
+        gated = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in pt
+        ff_key = "encoder.block.0.layer.1.DenseReluDense." + ("wi_0" if gated else "wi")
+        cfg = T5Config(
+            vocab_size=pt["shared.weight"].shape[0],
+            d_model=pt["shared.weight"].shape[1],
+            num_layers=max(blocks) + 1,
+            num_heads=rab.shape[1],
+            d_kv=q.shape[0] // rab.shape[1],
+            d_ff=pt[ff_key + ".weight"].shape[0],
+            relative_attention_num_buckets=rab.shape[0],
+            feed_forward_proj="gated-gelu" if gated else "relu",
+            is_encoder_decoder=False,
+        )
+        model = FlaxT5EncoderModel(cfg, dtype=jnp.bfloat16)
+        model.params = convert_pytorch_state_dict_to_flax(pt, model)
+        self._t5 = model
+        self.dim = cfg.d_model
+        try:
+            self._tokenizer = AutoTokenizer.from_pretrained(self.t5_model_name)
+        except Exception:
+            self._tokenizer = _FallbackTokenizer(self.max_length)
+        self._encode = jax.jit(
+            lambda ids, mask: self._t5.module.apply(
+                {"params": self._t5.params}, input_ids=ids, attention_mask=mask
+            ).last_hidden_state
+        )
+        return True
+
     def prepare(self, values):
         self._load()
         enc = self._tokenizer(
