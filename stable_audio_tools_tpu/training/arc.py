@@ -111,6 +111,7 @@ class ARCTrainer:
         pre_encoded: bool = False,
         cfg_dropout_prob: float = 0.0,
         clip_grad_norm: float = 0.0,
+        trim_config: tp.Optional[dict] = None,
     ):
         self.model = model
         self.discriminator = discriminator
@@ -161,8 +162,39 @@ class ARCTrainer:
                 optax.clip_by_global_norm(clip_grad_norm), self.disc_optimizer
             )
 
+        # random-length trimming (reference training/arc.py:329-337). Trim
+        # lengths are rounded UP to a multiple of trim_bucket so the number of
+        # distinct jit shapes stays bounded (each bucket compiles once).
+        self.trim_config = trim_config
+        if trim_config is not None:
+            self.trim_prob = trim_config.get("trim_prob", 0.0)
+            self.trim_type = trim_config.get("type", "random_item")
+            self.trim_bucket = trim_config.get("bucket_multiple", 128)
+
         self._jit_cache = {}
         self._ode_cache = None  # host-cached teacher trajectories
+
+    def _maybe_trim(self, latents, padding_masks, step: int):
+        """Host-side random trim of the latent sequence (post ODE warmup)."""
+        if self.trim_config is None or self.trim_prob <= 0.0:
+            return latents
+        rng = np.random.default_rng(step)
+        if rng.random() >= self.trim_prob:
+            return latents
+        T = latents.shape[-1]
+        if padding_masks is not None:
+            data_lengths = np.asarray(padding_masks).sum(axis=1).astype(int) - 1
+        else:
+            data_lengths = np.asarray([T])
+        if self.trim_type == "random_item":
+            trim_length = max(int(rng.choice(data_lengths)), 128)
+        else:
+            trim_length = max(int(data_lengths.min()), 128)
+        b = self.trim_bucket
+        trim_length = min(-(-trim_length // b) * b, T)
+        if trim_length >= T:
+            return latents
+        return latents[:, :, :trim_length]
 
     # -- state --------------------------------------------------------------
 
@@ -401,7 +433,7 @@ class ARCTrainer:
     # -- host dispatch ---------------------------------------------------------
 
     def train_step(self, state: ARCTrainState, latents, cond_tensors, rng,
-                   step: int, rolled_cond_tensors=None):
+                   step: int, rolled_cond_tensors=None, padding_masks=None):
         if step < self.ode_warmup_steps:
             if self._ode_cache is None or step % self.ode_refresh_rate == 0:
                 self._ode_cache = self._refresh_ode_states(
@@ -412,6 +444,8 @@ class ARCTrainer:
             if key not in self._jit_cache:
                 self._jit_cache[key] = jax.jit(self._ode_step_fn())
             return self._jit_cache[key](state, self._ode_cache, cond_tensors, rng)
+        # trimming starts after ODE warmup (reference arc.py:329)
+        latents = self._maybe_trim(latents, padding_masks, step)
         if step % 2 == 0:
             key = "gen"
             if key not in self._jit_cache:

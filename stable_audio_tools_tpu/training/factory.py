@@ -77,6 +77,7 @@ def create_training_wrapper_from_config(model_config: tp.Dict[str, tp.Any], mode
                 pre_encoded=training_config.get("pre_encoded", False),
                 cfg_dropout_prob=training_config.get("cfg_dropout_prob", 0.1),
                 clip_grad_norm=training_config.get("clip_grad_norm", 0.0),
+                trim_config=training_config.get("trim_config", None),
             )
 
         from .diffusion import DiffusionCondTrainer

@@ -94,3 +94,32 @@ def test_arc_full_phase_cycle(arc_setup):
         np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0]), np.asarray(g0)
     )
     assert int(state.step) == 4
+
+def test_arc_trim_buckets(arc_setup):
+    """Random-length trim: bucketed static shapes, applied only with prob>0."""
+    trainer, state, latents, cond, rolled = arc_setup
+    trainer.trim_config = {"trim_prob": 1.0, "type": "random_item",
+                           "bucket_multiple": 8}
+    trainer.trim_prob, trainer.trim_type, trainer.trim_bucket = 1.0, "random_item", 8
+    try:
+        masks = np.zeros((2, 32), bool)
+        masks[0, :17] = True   # data length 16
+        masks[1, :25] = True   # data length 24
+        trimmed = trainer._maybe_trim(latents, masks, step=12345)
+        # rounded up to a multiple of 8, at least 128 → but T=32 caps it... use
+        # the raw helper expectations: max(len,128) clamps to T=32 here
+        assert trimmed.shape[-1] == 32  # min length floor (128) >= T → no trim
+
+        big = jnp.zeros((2, 2, 512))
+        masks = np.zeros((2, 512), bool)
+        masks[:, :200] = True  # data length 199
+        trimmed = trainer._maybe_trim(big, masks, step=7)
+        # length 199 → rounded up to the next multiple of 8 = 200
+        assert trimmed.shape[-1] == 200
+        # full GAN step still runs on the trimmed shape
+        state2, aux = trainer.train_step(state, latents, cond,
+                                         jax.random.PRNGKey(9), 4,
+                                         padding_masks=np.ones((2, 32), bool))
+        assert np.isfinite(float(aux["loss"]))
+    finally:
+        trainer.trim_config = None
