@@ -8,9 +8,11 @@ mask-mod-parameterized Pallas kernel.
 Design: grid over (batch*heads, q blocks); K/V live in VMEM per (b,h) slice;
 online-softmax accumulation over K blocks via fori_loop, with block-range
 skipping derived from the causal/window geometry (blocks fully outside the
-window are never touched). Backward pass recomputes attention in XLA via
-custom_vjp — forward speed is what matters for sampling; training grads stay
-exact through the XLA path.
+window are never touched). The forward also emits the per-row logsumexp so
+the backward can recompute probabilities in two Pallas kernels (dQ over
+q-blocks; dK/dV over k-blocks) without materializing the attention matrix —
+the same flash-attention-2 recurrence the reference gets from its CUDA
+kernels.
 """
 
 from __future__ import annotations
@@ -28,25 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len,
-                  causal, w_left, w_right, scale):
-    qi = pl.program_id(1)
-    q = q_ref[0]  # [block_q, D] — keep input dtype (bf16 operands on the MXU)
-    D = q.shape[-1]
-
+def _q_visible_range(qi, block_q, block_k, seq_len, causal, w_left, w_right):
+    """K-block range visible from q-block qi. Returns (banded, lo, n_vis, hi):
+    banded → iterate lo+i for i in range(n_vis) (STATIC trip count, so Mosaic
+    can pipeline); else iterate [lo, hi)."""
     q_start = qi * block_q
     n_blocks = pl.cdiv(seq_len, block_k)
-    # K-block range visible from this Q block. Trip count is kept STATIC
-    # (so Mosaic can pipeline the loop); only the offset is dynamic.
     banded = w_left >= 0 and (causal or w_right >= 0)
     if banded:
-        # fixed number of visible blocks around the diagonal → static trip count
         right = 0 if causal else w_right
         n_vis = (w_left + right + block_q - 1) // block_k + 2
         n_vis = min(n_vis, -(-seq_len // block_k))
         lo = jnp.clip((q_start - w_left) // block_k, 0, n_blocks - n_vis)
-        hi = lo + n_vis
-    elif causal or w_right >= 0:
+        return True, lo, n_vis, None
+    if causal or w_right >= 0:
         extra = 0 if causal else w_right
         lo = 0
         hi = jnp.minimum((q_start + block_q - 1 + extra) // block_k + 1, n_blocks)
@@ -54,8 +51,56 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len,
         lo = jnp.maximum((q_start - w_left) // block_k, 0)
         hi = n_blocks
     else:
+        lo, hi = 0, n_blocks
+    return False, lo, None, hi
+
+
+def _k_visible_range(ki, block_q, block_k, n_q_blocks, seq_len, causal,
+                     w_left, w_right):
+    """Transposed band: q-block range that sees k-block ki (for dK/dV)."""
+    k_start = ki * block_k
+    banded = w_left >= 0 and (causal or w_right >= 0)
+    right = 0 if causal else max(w_right, 0)
+    if banded:
+        n_vis = (w_left + right + block_k - 1) // block_q + 2
+        n_vis = min(n_vis, n_q_blocks)
+        lo = jnp.clip((k_start - right) // block_q, 0, n_q_blocks - n_vis)
+        return True, lo, n_vis, None
+    if causal or w_right >= 0:
+        # q >= k - right → lower bound
+        lo = jnp.maximum((k_start - right) // block_q, 0)
+        hi = n_q_blocks
+    elif w_left >= 0:
+        # q <= k + w_left → upper bound
         lo = 0
-        hi = n_blocks
+        hi = jnp.minimum(
+            (k_start + block_k - 1 + w_left) // block_q + 1, n_q_blocks
+        )
+    else:
+        lo, hi = 0, n_q_blocks
+    return False, lo, None, hi
+
+
+def _pos_mask(q_start, k_start, block_q, block_k, seq_len, causal,
+              w_left, w_right):
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = k_ids < seq_len
+    if causal:
+        mask &= k_ids <= q_ids
+    if w_left >= 0:
+        mask &= k_ids >= q_ids - w_left
+    if w_right >= 0:
+        mask &= k_ids <= q_ids + w_right
+    return mask
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
+                  seq_len, causal, w_left, w_right, scale):
+    qi = pl.program_id(1)
+    q = q_ref[0]  # [block_q, D] — keep input dtype (bf16 operands on the MXU)
+    D = q.shape[-1]
+    q_start = qi * block_q
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
@@ -63,18 +108,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len,
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         # bf16 operands, f32 accumulation on the MXU
         logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        # mask: positions + causal/window
-        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        k_ids = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = k_ids < seq_len
-        if causal:
-            mask &= k_ids <= q_ids
-        if w_left >= 0:
-            mask &= k_ids >= q_ids - w_left
-        if w_right >= 0:
-            mask &= k_ids <= q_ids + w_right
+        mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
+                         causal, w_left, w_right)
         logits = jnp.where(mask, logits, NEG_INF)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -90,44 +125,129 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len,
     acc0 = jnp.zeros((block_q, D), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
+    banded, lo, n_vis, hi = _q_visible_range(
+        qi, block_q, block_k, seq_len, causal, w_left, w_right
+    )
     if banded:
-        # static trip count (pipelineable), dynamic offset
         acc, m, l = jax.lax.fori_loop(
             0, n_vis, lambda i, c: body(lo + i, c), (acc0, m0, l0)
         )
     else:
         acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # [block_q, 1]
 
 
-def _flash_forward(q, k, v, causal, window, block_q=256, block_k=256):
-    B, H, N, D = q.shape
-    scale = 1.0 / math.sqrt(D)
-    w_left, w_right = (-1, -1) if window is None else window
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
+                   block_q, block_k, seq_len, causal, w_left, w_right, scale):
+    qi = pl.program_id(1)
+    q = q_ref[0]           # [bq, D]
+    do = do_ref[0]         # [bq, D]
+    lse = lse_ref[0]   # [bq, 1] f32
+    dsum = dsum_ref[0]  # [bq, 1] f32 — rowsum(dO * O)
+    q_start = qi * block_q
+    D = q.shape[-1]
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
+                         causal, w_left, w_right)
+        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)  # normalized probs
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum) * scale
+        return dq + jnp.dot(ds.astype(k_blk.dtype), k_blk,
+                            preferred_element_type=jnp.float32)
+
+    dq0 = jnp.zeros((block_q, D), jnp.float32)
+    banded, lo, n_vis, hi = _q_visible_range(
+        qi, block_q, block_k, seq_len, causal, w_left, w_right
+    )
+    if banded:
+        dq = jax.lax.fori_loop(0, n_vis, lambda i, c: body(lo + i, c), dq0)
+    else:
+        dq = jax.lax.fori_loop(lo, hi, body, dq0)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                    dk_ref, dv_ref, *, block_q, block_k, seq_len, n_q_blocks,
+                    causal, w_left, w_right, scale):
+    ki = pl.program_id(1)
+    k_blk = k_ref[0]  # [bk, D]
+    v_blk = v_ref[0]
+    k_start = ki * block_k
+    D = k_blk.shape[-1]
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]
+        dsum = dsum_ref[0, pl.ds(qb * block_q, block_q), :]
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        mask = _pos_mask(qb * block_q, k_start, block_q, block_k, seq_len,
+                         causal, w_left, w_right)
+        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)  # [bq, bk]
+        dv = dv + jnp.dot(p.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum) * scale
+        dk = dk + jnp.dot(ds.astype(q.dtype).T, q,
+                          preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, D), jnp.float32)
+    dv0 = jnp.zeros((block_k, D), jnp.float32)
+    banded, lo, n_vis, hi = _k_visible_range(
+        ki, block_q, block_k, n_q_blocks, seq_len, causal, w_left, w_right
+    )
+    if banded:
+        dk, dv = jax.lax.fori_loop(
+            0, n_vis, lambda i, c: body(lo + i, c), (dk0, dv0)
+        )
+    else:
+        dk, dv = jax.lax.fori_loop(lo, hi, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pick_blocks(N, causal, w_left, w_right, block_q=256, block_k=256):
     if w_left >= 0 and (causal or w_right >= 0):
         # narrow band: smaller blocks keep the visible-block count tight
         extent = w_left + (0 if causal else max(w_right, 0))
         block_q = block_k = max(128, min(block_q, 1 << (extent).bit_length()))
     block_q = min(block_q, N)
     block_k = min(block_k, N)
-    # pad N to a multiple of block size
     N_pad = ((N + block_q - 1) // block_q) * block_q
     N_pad = ((N_pad + block_k - 1) // block_k) * block_k
-    if N_pad != N:
-        pad = N_pad - N
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return block_q, block_k, N_pad
 
-    qf = q.reshape(B * H, N_pad, D)
-    kf = k.reshape(B * H, N_pad, D)
-    vf = v.reshape(B * H, N_pad, D)
+
+def _pad_seq(x, N_pad):
+    N = x.shape[2]
+    if N_pad == N:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, N_pad - N), (0, 0)))
+
+
+def _flash_forward(q, k, v, causal, window, block_q=256, block_k=256):
+    B, H, N, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    w_left, w_right = (-1, -1) if window is None else window
+    block_q, block_k, N_pad = _pick_blocks(N, causal, w_left, w_right,
+                                           block_q, block_k)
+    qf = _pad_seq(q, N_pad).reshape(B * H, N_pad, D)
+    kf = _pad_seq(k, N_pad).reshape(B * H, N_pad, D)
+    vf = _pad_seq(v, N_pad).reshape(B * H, N_pad, D)
 
     kernel = functools.partial(
         _flash_kernel, block_q=block_q, block_k=block_k, seq_len=N,
         causal=causal, w_left=w_left, w_right=w_right, scale=scale,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(B * H, N_pad // block_q),
         in_specs=[
@@ -138,36 +258,112 @@ def _flash_forward(q, k, v, causal, window, block_q=256, block_k=256):
             pl.BlockSpec((1, N_pad, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, N_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, N_pad, 1), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",  # CPU CI runs interpreted
+    )(qf, kf, vf)
+    out = out.reshape(B, H, N_pad, D)[:, :, :N, :]
+    return out, lse  # lse stays flat/padded: [B*H, N_pad, 1]
+
+
+def _flash_backward(q, k, v, o, lse, g, causal, window,
+                    block_q=256, block_k=256):
+    B, H, N, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    w_left, w_right = (-1, -1) if window is None else window
+    block_q, block_k, N_pad = _pick_blocks(N, causal, w_left, w_right,
+                                           block_q, block_k)
+    qf = _pad_seq(q, N_pad).reshape(B * H, N_pad, D)
+    kf = _pad_seq(k, N_pad).reshape(B * H, N_pad, D)
+    vf = _pad_seq(v, N_pad).reshape(B * H, N_pad, D)
+    dof = _pad_seq(g, N_pad).reshape(B * H, N_pad, D)
+    # rowsum(dO * O): padded rows are zero because g is zero-padded
+    dsum = jnp.sum(
+        _pad_seq(g, N_pad).astype(jnp.float32) *
+        _pad_seq(o, N_pad).astype(jnp.float32), axis=-1, keepdims=True,
+    ).reshape(B * H, N_pad, 1)
+
+    interp = jax.default_backend() != "tpu"
+    common = dict(block_q=block_q, block_k=block_k, seq_len=N, causal=causal,
+                  w_left=w_left, w_right=w_right, scale=scale)
+
+    full = lambda b, i: (b, 0, 0)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(B * H, N_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, N_pad, D), q.dtype),
-        interpret=jax.default_backend() != "tpu",  # CPU CI runs interpreted
-    )(qf, kf, vf)
-    out = out.reshape(B, H, N_pad, D)
-    return out[:, :, :N, :]
+        interpret=interp,
+    )(qf, kf, vf, dof, lse, dsum)
 
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, n_q_blocks=N_pad // block_q,
+                          **common),
+        grid=(B * H, N_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, N_pad, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, N_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, N_pad, D), v.dtype),
+        ],
+        interpret=interp,
+    )(qf, kf, vf, dof, lse, dsum)
 
-def _xla_reference(q, k, v, causal, window):
-    from ..attention import dot_product_attention
-
-    return dot_product_attention(q, k, v, causal=causal, window=window)
+    unflat = lambda x: x.reshape(B, H, N_pad, D)[:, :, :N, :]
+    return unflat(dq), unflat(dk), unflat(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q, k, v, causal: bool = False,
                     window: Optional[Tuple[int, int]] = None):
-    """q,k,v: [B, H, N, D]. Pallas forward; exact XLA-recompute backward."""
-    return _flash_forward(q, k, v, causal, window)
+    """q,k,v: [B, H, N, D]. Pallas flash-attention forward AND backward."""
+    out, _ = _flash_forward(q, k, v, causal, window)
+    return out
 
 
 def _fwd(q, k, v, causal, window):
-    return _flash_forward(q, k, v, causal, window), (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal, window)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(causal, window, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, causal, window), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_backward(q, k, v, o, lse, g, causal, window)
 
 
 flash_attention.defvjp(_fwd, _bwd)
