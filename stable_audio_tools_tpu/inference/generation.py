@@ -67,6 +67,23 @@ def _jit_cache(model, key, builder):
     return cache[key]
 
 
+def _place_for_mesh(variables, noise, mesh, tp_rules=None):
+    """Shard params (TP rules) + latent batch ('data') for multi-chip
+    inference; GSPMD propagates through the fused sampler program."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DIT_TP_RULES, tp_param_sharding
+
+    rules = DIT_TP_RULES if tp_rules is None else tp_rules
+    variables = jax.device_put(variables, tp_param_sharding(variables, mesh, rules))
+    if "data" in mesh.shape and noise.shape[0] % mesh.shape["data"] == 0:
+        bspec = P("data", *([None] * (noise.ndim - 1)))
+    else:
+        bspec = P()
+    noise = jax.device_put(noise, NamedSharding(mesh, bspec))
+    return variables, noise
+
+
 def generate_diffusion_uncond(
     model,
     variables,
@@ -81,11 +98,15 @@ def generate_diffusion_uncond(
     sigma_max: float = 500.0,
     rho: float = 1.0,
     return_latents: bool = False,
+    mesh=None,
+    tp_rules=None,
     **sampler_kwargs,
 ):
     rng, seed = _seed_rng(seed)
     shape = _latent_shape(model, batch_size, sample_size)
     noise = jax.random.normal(jax.random.fold_in(rng, 0), shape)
+    if mesh is not None:
+        variables, noise = _place_for_mesh(variables, noise, mesh, tp_rules)
 
     init_data = None
     if init_audio is not None:
@@ -158,16 +179,25 @@ def generate_diffusion_cond(
     rho: float = 1.0,
     cfg_interval: tp.Tuple[float, float] = (0.0, 1.0),
     scale_phi: float = 0.0,
+    mesh=None,
+    tp_rules=None,
     **sampler_kwargs,
 ):
     """Text/metadata-conditioned latent-diffusion generation.
 
     model: ConditionedDiffusionModelWrapper (flax module from the factory);
     variables: its params. Returns audio [B, C, sample_size] (or latents).
+
+    Multi-chip: pass a jax.sharding.Mesh with ('data', 'model') axes — params
+    are tensor-parallel sharded by `tp_rules` (default parallel.mesh
+    DIT_TP_RULES), the latent batch is sharded over 'data' when divisible,
+    and XLA GSPMD inserts the collectives inside the one fused sampler.
     """
     rng, seed = _seed_rng(seed)
     shape = _latent_shape(model, batch_size, sample_size)
     noise = jax.random.normal(jax.random.fold_in(rng, 0), shape)
+    if mesh is not None:
+        variables, noise = _place_for_mesh(variables, noise, mesh, tp_rules)
 
     assert conditioning is not None or conditioning_tensors is not None, (
         "Must provide either conditioning or conditioning_tensors"

@@ -227,3 +227,23 @@ def test_generate_diffusion_uncond_dau1d():
     )
     assert audio.shape == (1, 1, 128)
     assert np.all(np.isfinite(np.asarray(audio)))
+
+
+def test_generate_cond_on_mesh_matches_single_device(cond_model):
+    """Multi-chip generation (TP params + DP batch over a virtual mesh) must
+    produce the same audio as single-device generation."""
+    from stable_audio_tools_tpu.parallel.mesh import create_mesh
+
+    model, variables = cond_model
+    kwargs = dict(
+        steps=4, cfg_scale=3.0, conditioning=CONDITIONING * 2, batch_size=2,
+        sample_size=1024, seed=42, sampler_type="dpmpp-2m", cfg_interval=(0.1, 0.9),
+    )
+    ref = np.asarray(generate_diffusion_cond(model, variables, **kwargs))
+
+    mesh = create_mesh(data=2, model=4)
+    got = np.asarray(generate_diffusion_cond(
+        model, variables, mesh=mesh, **kwargs
+    ))
+    assert got.shape == ref.shape == (2, 2, 1024)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
