@@ -7,7 +7,6 @@ writes 16-bit PCM or 32-bit float.
 from __future__ import annotations
 
 import struct
-import wave
 from typing import Tuple
 
 import numpy as np

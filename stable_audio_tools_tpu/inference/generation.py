@@ -21,7 +21,6 @@ from .sampling import (
     DistributionShift,
     sample_k,
     sample_rf,
-    t_to_alpha_sigma,
 )
 
 

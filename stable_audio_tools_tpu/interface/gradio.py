@@ -7,7 +7,6 @@ if gradio is missing at call time.
 
 from __future__ import annotations
 
-import gc
 import json
 import typing as tp
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import math
 import typing as tp
-from functools import partial
 
 import jax
 import jax.numpy as jnp

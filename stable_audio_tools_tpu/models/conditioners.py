@@ -20,7 +20,6 @@ from __future__ import annotations
 import logging
 import string
 import typing as tp
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -331,7 +330,7 @@ class T5Conditioner(HostConditioner):
     def _load(self):
         if self._t5 is not None:
             return
-        from transformers import AutoConfig, AutoTokenizer, FlaxT5EncoderModel
+        from transformers import AutoTokenizer, FlaxT5EncoderModel
 
         try:
             self._tokenizer = AutoTokenizer.from_pretrained(self.t5_model_name)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.conv import Conv1d, WNConv1d, WNConvTranspose1d
+from ..ops.conv import Conv1d, WNConv1d
 
 
 class ConvNeXtBlock(nn.Module):

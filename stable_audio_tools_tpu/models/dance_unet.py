@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.conv import Conv1d, conv1d, conv_transpose1d
+from ..ops.conv import Conv1d
 from ..ops.embeddings import FourierFeatures
 
 _KERNELS = {

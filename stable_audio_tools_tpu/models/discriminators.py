@@ -14,7 +14,6 @@ with audio in [B, C, T]. Inside, 1-D convs run NLC and 2-D convs NHWC.
 from __future__ import annotations
 
 import typing as tp
-from functools import partial
 
 import jax
 import jax.numpy as jnp

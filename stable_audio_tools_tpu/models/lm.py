@@ -180,6 +180,17 @@ class AudioLanguageModelWrapper(nn.Module):
         return self.pretransform.decode_tokens(tokens)
 
 
+def _lm_jit_cache(model, key, builder):
+    """Per-model cache of jitted LM programs (same scheme as generation.py)."""
+    cache = getattr(model, "_lm_gen_jit_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_lm_gen_jit_cache", cache)
+    if key not in cache:
+        cache[key] = jax.jit(builder)
+    return cache[key]
+
+
 def lm_generate_cached(
     model: AudioLanguageModelWrapper,
     variables,
@@ -229,8 +240,19 @@ def lm_generate_cached(
     embed_dim = backbone.embed_dim
     num_heads = backbone.num_heads
     depth = backbone.depth
+    cache_dtype = jnp.dtype(getattr(backbone, "compute_dtype", None) or jnp.float32)
+    if cache_dtype != jnp.float32:
+        # AR decode is HBM-bound on the weight stream: cast params ONCE here
+        # (outside the scan) so each step reads half the bytes; a per-step
+        # cast inside the loop would re-read the fp32 weights every token.
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(cache_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            variables,
+        )
     caches = [
-        init_kv_cache(B_eff, num_heads, S, embed_dim // num_heads)
+        init_kv_cache(B_eff, num_heads, S, embed_dim // num_heads,
+                      dtype=cache_dtype)
         for _ in range(depth)
     ]
 
@@ -240,44 +262,57 @@ def lm_generate_cached(
     gen_seq, _, _ = pattern.build_pattern_sequence(gen_codes, masked)
     gen_seq = gen_seq.astype(jnp.int32)
 
-    def decode_token(seq_tok, caches, pos):
-        """seq_tok: [B, K, 1] token at position pos → (logits [B, K, card])."""
-        tok = jnp.concatenate([seq_tok, seq_tok], axis=0) if use_cfg else seq_tok
-        out = model.apply(
-            variables, tok, cross_attn_cond=cross, cond_tensors=None,
-            caches=caches, cache_index=pos, method=model.lm_forward,
-        )
-        logits, new_caches = out
-        logits = logits[:, :, 0, :]
-        if use_cfg:
-            cond_l, uncond_l = jnp.split(logits, 2, axis=0)
-            logits = uncond_l + (cond_l - uncond_l) * cfg_scale
-        return logits, new_caches
+    # whole decode (scan + pattern revert) is ONE jitted program, cached per
+    # static config on the model — eager dispatch would pay the per-op RPC
+    # latency hundreds of times per call on remote TPU backends.
+    key = ("lm_cached", S, K, batch_size, float(temp), float(top_k),
+           float(top_p), float(cfg_scale or 1.0), use_cfg, str(cache_dtype),
+           cross is not None)
 
-    def body(carry, offset):
-        seq, caches, rng = carry
-        prev = jnp.maximum(offset - 1, 0)
-        tok = jax.lax.dynamic_slice_in_dim(seq, prev, 1, axis=2)
-        logits, caches = decode_token(tok, caches, prev)
-        step_logits = logits / max(temp, 1e-5)
-        probs = jax.nn.softmax(step_logits, axis=-1)
-        rng, sk = jax.random.split(rng)
-        if top_p > 0.0:
-            tokens = sample_top_p(probs, top_p, sk)[..., 0]
-        elif top_k > 0:
-            tokens = sample_top_k(probs, top_k, sk)[..., 0]
-        else:
-            tokens = multinomial(probs, 1, sk)[..., 0]
-        tokens = tokens.astype(jnp.int32)
-        current = jax.lax.dynamic_slice_in_dim(seq, offset, 1, axis=2)[:, :, 0]
-        new = jnp.where(current == masked, tokens, current)
-        seq = jax.lax.dynamic_update_slice_in_dim(seq, new[:, :, None], offset, axis=2)
-        return (seq, caches, rng), None
+    def run(variables, cross, gen_seq, caches, rng):
+        def decode_token(seq_tok, caches, pos):
+            """seq_tok: [B, K, 1] token at position pos → logits [B, K, card]."""
+            tok = jnp.concatenate([seq_tok, seq_tok], axis=0) if use_cfg else seq_tok
+            out = model.apply(
+                variables, tok, cross_attn_cond=cross, cond_tensors=None,
+                caches=caches, cache_index=pos, method=model.lm_forward,
+            )
+            logits, new_caches = out
+            logits = logits[:, :, 0, :]
+            if use_cfg:
+                cond_l, uncond_l = jnp.split(logits, 2, axis=0)
+                logits = uncond_l + (cond_l - uncond_l) * cfg_scale
+            return logits, new_caches
 
-    offsets = jnp.arange(1, S)
-    (gen_seq, _, _), _ = jax.lax.scan(body, (gen_seq, caches, rng), offsets)
-    codes, _, _ = pattern.revert_pattern_sequence(gen_seq, masked)
-    return jnp.clip(codes, 0, card - 1)
+        def body(carry, offset):
+            seq, caches, rng = carry
+            prev = jnp.maximum(offset - 1, 0)
+            tok = jax.lax.dynamic_slice_in_dim(seq, prev, 1, axis=2)
+            logits, caches = decode_token(tok, caches, prev)
+            step_logits = logits / max(temp, 1e-5)
+            probs = jax.nn.softmax(step_logits, axis=-1)
+            rng, sk = jax.random.split(rng)
+            if top_p > 0.0:
+                tokens = sample_top_p(probs, top_p, sk)[..., 0]
+            elif top_k > 0:
+                tokens = sample_top_k(probs, top_k, sk)[..., 0]
+            else:
+                tokens = multinomial(probs, 1, sk)[..., 0]
+            tokens = tokens.astype(jnp.int32)
+            current = jax.lax.dynamic_slice_in_dim(seq, offset, 1, axis=2)[:, :, 0]
+            new = jnp.where(current == masked, tokens, current)
+            seq = jax.lax.dynamic_update_slice_in_dim(
+                seq, new[:, :, None], offset, axis=2
+            )
+            return (seq, caches, rng), None
+
+        offsets = jnp.arange(1, S)
+        (seq, _, _), _ = jax.lax.scan(body, (gen_seq, caches, rng), offsets)
+        codes, _, _ = pattern.revert_pattern_sequence(seq, masked)
+        return jnp.clip(codes, 0, card - 1)
+
+    fn = _lm_jit_cache(model, key, run)
+    return fn(variables, cross, gen_seq, caches, rng)
 
 
 def lm_generate(
@@ -317,52 +352,64 @@ def lm_generate(
 
     use_cfg = cfg_scale is not None and cfg_scale != 1.0
 
-    def forward(variables, seq):
-        if use_cfg:
-            seq2 = jnp.concatenate([seq, seq], axis=0)
-            ck = dict(cond_kwargs)
-            null_kwargs = {}
-            for k, v in ck.items():
-                if v is None:
-                    null_kwargs[k] = None
-                elif k.endswith("_mask"):
-                    null_kwargs[k] = jnp.concatenate([v, v], axis=0)
-                else:
-                    null_kwargs[k] = jnp.concatenate([v, jnp.zeros_like(v)], axis=0)
-            logits = model.apply(variables, seq2, cond_tensors=None, **null_kwargs)
-            cond_l, uncond_l = jnp.split(logits, 2, axis=0)
-            return uncond_l + (cond_l - uncond_l) * cfg_scale
-        return model.apply(variables, seq, cond_tensors=None, **cond_kwargs)
+    ck_clean = {k: v for k, v in cond_kwargs.items() if v is not None}
+    key = ("lm_full", S, K, batch_size, float(temp), float(top_k),
+           float(top_p), float(cfg_scale or 1.0), use_cfg, start_offset,
+           tuple(sorted(ck_clean)))
 
-    def body(carry, offset):
-        seq, rng = carry
-        logits = forward(variables, seq)  # [B, K, S, card]
-        prev = jnp.maximum(offset - 1, 0)
-        step_logits = jax.lax.dynamic_slice_in_dim(logits, prev, 1, axis=2)
-        step_logits = step_logits[:, :, 0, :] / max(temp, 1e-5)  # [B, K, card]
-        probs = jax.nn.softmax(step_logits, axis=-1)
-        rng, sk = jax.random.split(rng)
-        if top_p > 0.0:
-            tokens = sample_top_p(probs, top_p, sk)[..., 0]
-        elif top_k > 0:
-            tokens = sample_top_k(probs, top_k, sk)[..., 0]
-        else:
-            tokens = multinomial(probs, 1, sk)[..., 0]
-        tokens = tokens.astype(jnp.int32)
-        # only fill positions still holding the masked token
-        current = jax.lax.dynamic_slice_in_dim(seq, offset, 1, axis=2)[:, :, 0]
-        new = jnp.where(current == masked, tokens, current)
-        seq = jax.lax.dynamic_update_slice_in_dim(
-            seq, new[:, :, None], offset, axis=2
-        )
-        return (seq, rng), None
+    def run(variables, ck_clean, gen_seq, rng):
+        keys = ("cross_attn_cond", "prepend_cond", "prepend_cond_mask")
+        ck = {k: ck_clean.get(k) for k in keys}
 
-    offsets = jnp.arange(max(start_offset, 1), S)
-    (gen_seq, _), _ = jax.lax.scan(body, (gen_seq, rng), offsets)
+        def forward(variables, seq):
+            if use_cfg:
+                seq2 = jnp.concatenate([seq, seq], axis=0)
+                null_kwargs = {}
+                for k, v in ck.items():
+                    if v is None:
+                        null_kwargs[k] = None
+                    elif k.endswith("_mask"):
+                        null_kwargs[k] = jnp.concatenate([v, v], axis=0)
+                    else:
+                        null_kwargs[k] = jnp.concatenate(
+                            [v, jnp.zeros_like(v)], axis=0
+                        )
+                logits = model.apply(variables, seq2, cond_tensors=None,
+                                     **null_kwargs)
+                cond_l, uncond_l = jnp.split(logits, 2, axis=0)
+                return uncond_l + (cond_l - uncond_l) * cfg_scale
+            return model.apply(variables, seq, cond_tensors=None, **ck)
 
-    codes, _, _ = pattern.revert_pattern_sequence(gen_seq, masked)
-    codes = jnp.clip(codes, 0, card - 1)
-    return codes  # [B, K, T]
+        def body(carry, offset):
+            seq, rng = carry
+            logits = forward(variables, seq)  # [B, K, S, card]
+            prev = jnp.maximum(offset - 1, 0)
+            step_logits = jax.lax.dynamic_slice_in_dim(logits, prev, 1, axis=2)
+            step_logits = step_logits[:, :, 0, :] / max(temp, 1e-5)  # [B, K, card]
+            probs = jax.nn.softmax(step_logits, axis=-1)
+            rng, sk = jax.random.split(rng)
+            if top_p > 0.0:
+                tokens = sample_top_p(probs, top_p, sk)[..., 0]
+            elif top_k > 0:
+                tokens = sample_top_k(probs, top_k, sk)[..., 0]
+            else:
+                tokens = multinomial(probs, 1, sk)[..., 0]
+            tokens = tokens.astype(jnp.int32)
+            # only fill positions still holding the masked token
+            current = jax.lax.dynamic_slice_in_dim(seq, offset, 1, axis=2)[:, :, 0]
+            new = jnp.where(current == masked, tokens, current)
+            seq = jax.lax.dynamic_update_slice_in_dim(
+                seq, new[:, :, None], offset, axis=2
+            )
+            return (seq, rng), None
+
+        offsets = jnp.arange(max(start_offset, 1), S)
+        (seq, _), _ = jax.lax.scan(body, (gen_seq, rng), offsets)
+        codes, _, _ = pattern.revert_pattern_sequence(seq, masked)
+        return jnp.clip(codes, 0, card - 1)  # [B, K, T]
+
+    fn = _lm_jit_cache(model, key, run)
+    return fn(variables, ck_clean, gen_seq, rng)
 
 
 def lm_generate_audio(model, variables, conditioning_tensors=None, rng=None,
@@ -370,13 +417,20 @@ def lm_generate_audio(model, variables, conditioning_tensors=None, rng=None,
     """generate + pretransform token decode (reference lm.py:457-472)."""
     gen = lm_generate_cached if use_cache else lm_generate
     codes = gen(model, variables, conditioning_tensors, rng=rng, **kwargs)
-    # pretransform expects tokens [B, T, Q] (bottleneck layout)
+    # pretransform expects tokens [B, T, Q] (bottleneck layout); the decode is
+    # jitted + cached too (an eager codec decode costs one RPC per op)
     tokens = jnp.transpose(codes, (0, 2, 1))
-    audio = model.apply(
-        variables, tokens, method=model.pretransform_decode_tokens,
-        rngs={"sample": rng if rng is not None else jax.random.PRNGKey(0)},
-    )
-    return audio
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def decode(variables, tokens, rng):
+        return model.apply(
+            variables, tokens, method=model.pretransform_decode_tokens,
+            rngs={"sample": rng},
+        )
+
+    fn = _lm_jit_cache(model, ("lm_decode_tokens", tuple(tokens.shape)), decode)
+    return fn(variables, tokens, rng)
 
 
 def create_audio_lm_from_config(config: tp.Dict[str, tp.Any]):

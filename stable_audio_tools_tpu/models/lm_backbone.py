@@ -24,6 +24,9 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
     prepend_cond_dim: int = 0
     use_checkpointing: bool = True
     ff_mult: float = 4
+    # "bfloat16" halves the param + KV-cache bandwidth of AR decode (the LM
+    # decode step is HBM-bound at batch 1); params stay fp32.
+    compute_dtype: tp.Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -36,6 +39,14 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
         caches=None,
         cache_index=None,
     ):
+        in_dtype = x.dtype
+        if self.compute_dtype is not None:
+            cdt = jnp.dtype(self.compute_dtype)
+            x = x.astype(cdt)
+            if cross_attn_cond is not None:
+                cross_attn_cond = cross_attn_cond.astype(cdt)
+            if prepend_cond is not None:
+                prepend_cond = prepend_cond.astype(cdt)
         if caches is not None:
             assert prepend_cond is None, "prepend conditioning unsupported in cached decode"
         prepend_length = 0
@@ -65,7 +76,7 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
             out, new_caches = transformer(
                 x, context=cross_attn_cond, caches=caches, cache_index=cache_index,
             )
-            return out, new_caches
+            return out.astype(in_dtype), new_caches
         out = transformer(
             x,
             prepend_embeds=prepend_embeds,
@@ -74,4 +85,4 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
             context=cross_attn_cond,
             mask=mask,
         )
-        return out[:, prepend_length:, :]
+        return out[:, prepend_length:, :].astype(in_dtype)

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

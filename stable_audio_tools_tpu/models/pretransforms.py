@@ -9,7 +9,7 @@ All pretransforms operate on [B, C, T] arrays (reference convention).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .conv import conv1d
 
 
 def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array) -> jax.Array:

@@ -13,7 +13,6 @@ norms/softmax are fp32 inside bf16 compute.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Literal, Optional, Tuple
 
 import jax

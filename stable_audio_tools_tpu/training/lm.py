@@ -11,7 +11,6 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 
 from .diffusion import TrainState
 from .ema import ema_update

@@ -22,7 +22,6 @@ import numpy as np
 from ...ops.stft import (
     a_weighting_fir,
     apply_fir,
-    hann_window,
     mel_filterbank,
     stft,
 )

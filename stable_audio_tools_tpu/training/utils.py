@@ -8,7 +8,6 @@ create_scheduler_from_config (:81), logger-agnostic log_* shims (:104-129).
 from __future__ import annotations
 
 import json
-import math
 import os
 import typing as tp
 
