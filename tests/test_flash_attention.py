@@ -38,17 +38,27 @@ def test_flash_attention_unpadded_length():
                                rtol=1e-3, atol=1e-4)
 
 
-def test_flash_attention_grads():
+@pytest.mark.parametrize("causal,window,N", [
+    (False, (31, 32), 256),
+    (True, None, 256),
+    (False, None, 300),      # unpadded length exercises masked k + zero-dO rows
+    (True, (31, -1), 512),   # causal banded (static trip count path)
+])
+def test_flash_attention_grads(causal, window, N):
     rng = np.random.RandomState(2)
-    B, H, N, D = 1, 2, 256, 64
+    B, H, D = 1, 2, 64
     q, k, v = (jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
                for _ in range(3))
+    # non-uniform cotangent so dO varies per row
+    w = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
 
     def loss_p(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, False, (31, 32)) ** 2)
+        return jnp.sum(w * flash_attention(q, k, v, causal, window) ** 2)
 
     def loss_x(q, k, v):
-        return jnp.sum(dot_product_attention(q, k, v, window=(31, 32)) ** 2)
+        return jnp.sum(
+            w * dot_product_attention(q, k, v, causal=causal, window=window) ** 2
+        )
 
     gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
