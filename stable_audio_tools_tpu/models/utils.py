@@ -25,11 +25,18 @@ def multinomial(probs: jax.Array, num_samples: int, rng) -> jax.Array:
 
 
 def sample_top_k(probs: jax.Array, k: int, rng) -> jax.Array:
-    """Top-k sampling (reference :78-94)."""
-    top_probs, top_idx = jax.lax.top_k(probs, k)
-    top_probs = top_probs / jnp.sum(top_probs, axis=-1, keepdims=True)
-    sampled = multinomial(top_probs, 1, rng)
-    return jnp.take_along_axis(top_idx, sampled, axis=-1)
+    """Top-k sampling (reference :78-94).
+
+    Threshold formulation: mask everything below the k-th largest prob to
+    -inf and sample categorically — same distribution as gather+renormalize
+    (ties at the threshold may admit a few extra candidates), but avoids the
+    take_along_axis gather, which measurably matters inside AR decode scans.
+    """
+    thresh = jax.lax.top_k(probs, k)[0][..., -1:]
+    logits = jnp.where(
+        probs >= thresh, jnp.log(jnp.clip(probs, 1e-12, None)), -jnp.inf
+    )
+    return jax.random.categorical(rng, logits, axis=-1)[..., None]
 
 
 def sample_top_p(probs: jax.Array, p: float, rng) -> jax.Array:
