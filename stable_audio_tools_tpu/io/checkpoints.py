@@ -244,22 +244,102 @@ def import_oobleck_decoder(sd, prefix: str, n_blocks: int, use_snake: bool,
     return p
 
 
+def _dac_snake(sd, key):
+    """dac Snake1d alpha [1, C, 1] → (C,)."""
+    return {"alpha": sd[key].reshape(-1).astype(np.float32)}
+
+
+def import_dac_encoder(sd, prefix: str, n_blocks: int) -> dict:
+    """descript-audio-codec Encoder state dict → our DACEncoder params.
+
+    torch layout (dac.model.dac Encoder / reference DACEncoderWrapper
+    autoencoders.py:365-386): `block.0` conv_in; `block.{1..n}` EncoderBlock
+    (`block` = [RU, RU, RU, Snake1d, down-conv], RU.block =
+    [Snake1d, conv k7, Snake1d, conv k1]); `block.{n+1}` Snake1d;
+    `block.{n+2}` conv_out; wrapper-level `proj_out` 1x1 conv.
+    """
+    p = {}
+    p["conv_in"] = convert_wn_conv1d(sd, f"{prefix}block.0")
+    for i in range(n_blocks):
+        src = f"{prefix}block.{i + 1}.block"
+        blk = {}
+        for j in range(3):
+            ru = f"{src}.{j}.block"
+            blk[f"res_{j}"] = {
+                "Snake1d_0": _dac_snake(sd, f"{ru}.0.alpha"),
+                "conv1": convert_wn_conv1d(sd, f"{ru}.1"),
+                "Snake1d_1": _dac_snake(sd, f"{ru}.2.alpha"),
+                "conv2": convert_wn_conv1d(sd, f"{ru}.3"),
+            }
+        blk["Snake1d_0"] = _dac_snake(sd, f"{src}.3.alpha")
+        blk["down"] = convert_wn_conv1d(sd, f"{src}.4")
+        p[f"block_{i}"] = blk
+    p["Snake1d_0"] = _dac_snake(sd, f"{prefix}block.{n_blocks + 1}.alpha")
+    p["conv_out"] = convert_wn_conv1d(sd, f"{prefix}block.{n_blocks + 2}")
+    return p
+
+
+def import_dac_decoder(sd, prefix: str, n_blocks: int) -> dict:
+    """descript-audio-codec Decoder state dict → our DACDecoder params.
+
+    torch layout: `model.0` conv_in; `model.{1..n}` DecoderBlock (`block` =
+    [Snake1d, WN transpose conv, RU, RU, RU]); `model.{n+1}` Snake1d;
+    `model.{n+2}` conv_out (Tanh at the end has no params).
+    """
+    p = {}
+    p["conv_in"] = convert_wn_conv1d(sd, f"{prefix}model.0")
+    for i in range(n_blocks):
+        src = f"{prefix}model.{i + 1}.block"
+        blk = {"Snake1d_0": _dac_snake(sd, f"{src}.0.alpha"),
+               "up": convert_wn_conv_transpose1d(sd, f"{src}.1")}
+        for j in range(3):
+            ru = f"{src}.{j + 2}.block"
+            blk[f"res_{j}"] = {
+                "Snake1d_0": _dac_snake(sd, f"{ru}.0.alpha"),
+                "conv1": convert_wn_conv1d(sd, f"{ru}.1"),
+                "Snake1d_1": _dac_snake(sd, f"{ru}.2.alpha"),
+                "conv2": convert_wn_conv1d(sd, f"{ru}.3"),
+            }
+        p[f"block_{i}"] = blk
+    p["Snake1d_0"] = _dac_snake(sd, f"{prefix}model.{n_blocks + 1}.alpha")
+    p["conv_out"] = convert_wn_conv1d(sd, f"{prefix}model.{n_blocks + 2}")
+    return p
+
+
 def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
     """Reference AudioAutoencoder torch state dict → our variables dict.
 
-    Supports Oobleck encoder/decoder (+VAE/tanh bottlenecks, which are
-    parameter-free). Returns {'params': {...}} ready for model.apply.
+    Supports Oobleck and DAC encoder/decoder families (+VAE/tanh bottlenecks,
+    which are parameter-free). Returns {'params': {...}} for model.apply.
     """
     enc = model.encoder
     dec = model.decoder
     params = {}
-    n_enc = len(enc.c_mults)
-    n_dec = len(dec.c_mults)
-    params["encoder"] = import_oobleck_encoder(sd, "encoder.", n_enc, enc.use_snake)
-    params["decoder"] = import_oobleck_decoder(
-        sd, "decoder.", n_dec, dec.use_snake,
-        getattr(dec, "use_nearest_upsample", False),
-    )
+    if type(enc).__name__ == "DACEncoder":
+        # reference DACEncoderWrapper nests the tower under `encoder.` and
+        # keeps the backwards-compat proj at wrapper level
+        params["encoder"] = import_dac_encoder(
+            sd, "encoder.encoder.", len(enc.strides)
+        )
+        if "encoder.proj_out.weight" in sd:
+            w = sd["encoder.proj_out.weight"]  # [out, in, 1] conv1x1
+            proj = {"kernel": w[:, :, 0].T.astype(np.float32)}
+            if "encoder.proj_out.bias" in sd:
+                proj["bias"] = sd["encoder.proj_out.bias"].astype(np.float32)
+            params["encoder"]["proj_out"] = proj
+    else:
+        params["encoder"] = import_oobleck_encoder(
+            sd, "encoder.", len(enc.c_mults), enc.use_snake
+        )
+    if type(dec).__name__ == "DACDecoder":
+        params["decoder"] = import_dac_decoder(
+            sd, "decoder.decoder.", len(dec.rates)
+        )
+    else:
+        params["decoder"] = import_oobleck_decoder(
+            sd, "decoder.", len(dec.c_mults), dec.use_snake,
+            getattr(dec, "use_nearest_upsample", False),
+        )
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 
 

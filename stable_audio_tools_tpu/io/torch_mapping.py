@@ -131,19 +131,14 @@ def import_diffusion_cond_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dic
     if model.pretransform is not None and any(
         k.startswith("pretransform.") for k in sd
     ):
-        from .checkpoints import import_oobleck_decoder, import_oobleck_encoder
+        from .checkpoints import import_autoencoder_state_dict
 
         ae = model.pretransform.model
-        params["pretransform"] = {"model": {
-            "encoder": import_oobleck_encoder(
-                sd, "pretransform.model.encoder.", len(ae.encoder.c_mults),
-                ae.encoder.use_snake,
-            ),
-            "decoder": import_oobleck_decoder(
-                sd, "pretransform.model.decoder.", len(ae.decoder.c_mults),
-                ae.decoder.use_snake,
-            ),
-        }}
+        sub = {k[len("pretransform.model."):]: v for k, v in sd.items()
+               if k.startswith("pretransform.model.")}
+        params["pretransform"] = {
+            "model": import_autoencoder_state_dict(ae, sub)["params"]
+        }
 
     # conditioner modules: learnable embedders + proj_out projections. Flax
     # names each bank entry 'modules_{cid}' (ConditionerBank.modules dict).

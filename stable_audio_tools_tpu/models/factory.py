@@ -73,6 +73,8 @@ def create_encoder_from_config(encoder_config: Dict[str, Any]):
     elif enc_type == "taae":
         return TAAEEncoder(**_filter_kwargs(TAAEEncoder, cfg))
     elif enc_type == "dac":
+        # reference DACEncoderWrapper (autoencoders.py:365-386): conv_out stays
+        # at d_model*2^len(strides) and `latent_dim` adds a 1x1 proj after it
         return DACEncoder(**_filter_kwargs(DACEncoder, cfg))
     elif enc_type == "seanet":
         cfg = dict(cfg)
@@ -102,7 +104,12 @@ def create_decoder_from_config(decoder_config: Dict[str, Any]):
     elif dec_type == "taae":
         return TAAEDecoder(**_filter_kwargs(TAAEDecoder, cfg))
     elif dec_type == "dac":
-        return DACDecoder(**_filter_kwargs(DACDecoder, cfg))
+        # reference DACDecoderWrapper names: latent_dim → input_channel,
+        # out_channels → d_out (autoencoders.py:388-399)
+        return DACDecoder(**_filter_kwargs(
+            DACDecoder, cfg,
+            renames={"latent_dim": "input_channel", "out_channels": "d_out"},
+        ))
     elif dec_type == "seanet":
         return SEANetDecoder(**_filter_kwargs(SEANetDecoder, cfg))
     elif dec_type == "local_attn":

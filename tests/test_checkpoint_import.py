@@ -253,3 +253,137 @@ def test_oobleck_decoder_import_parity():
     )
     out = np.asarray(out).transpose(0, 2, 1)
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_import_dac_autoencoder_golden():
+    """DAC (descript-audio-codec) layout import matches torch forward."""
+    import math as _math
+
+    import torch.nn as tnn
+    from torch.nn.utils import weight_norm as _wn
+
+    torch.manual_seed(0)
+
+    def WNC(i, o, **kw):
+        return _wn(tnn.Conv1d(i, o, **kw))
+
+    class Snake1d(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.alpha = tnn.Parameter(torch.rand(1, c, 1) + 0.5)
+
+        def forward(self, x):
+            return x + (self.alpha + 1e-9).reciprocal() * torch.sin(
+                self.alpha * x).pow(2)
+
+    class RU(tnn.Module):
+        def __init__(self, dim, dil):
+            super().__init__()
+            pad = ((7 - 1) * dil) // 2
+            self.block = tnn.Sequential(
+                Snake1d(dim),
+                WNC(dim, dim, kernel_size=7, dilation=dil, padding=pad),
+                Snake1d(dim),
+                WNC(dim, dim, kernel_size=1),
+            )
+
+        def forward(self, x):
+            return x + self.block(x)
+
+    class EB(tnn.Module):
+        def __init__(self, dim, stride):
+            super().__init__()
+            self.block = tnn.Sequential(
+                RU(dim // 2, 1), RU(dim // 2, 3), RU(dim // 2, 9),
+                Snake1d(dim // 2),
+                WNC(dim // 2, dim, kernel_size=2 * stride, stride=stride,
+                    padding=_math.ceil(stride / 2)),
+            )
+
+        def forward(self, x):
+            return self.block(x)
+
+    class TEnc(tnn.Module):
+        def __init__(self, d_model, strides, in_ch):
+            super().__init__()
+            layers = [WNC(in_ch, d_model, kernel_size=7, padding=3)]
+            d = d_model
+            for st in strides:
+                d *= 2
+                layers.append(EB(d, st))
+            layers += [Snake1d(d), WNC(d, d, kernel_size=3, padding=1)]
+            self.block = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.block(x)
+
+    class DB(tnn.Module):
+        def __init__(self, in_dim, out_dim, stride):
+            super().__init__()
+            self.block = tnn.Sequential(
+                Snake1d(in_dim),
+                _wn(tnn.ConvTranspose1d(in_dim, out_dim,
+                                        kernel_size=2 * stride, stride=stride,
+                                        padding=_math.ceil(stride / 2))),
+                RU(out_dim, 1), RU(out_dim, 3), RU(out_dim, 9),
+            )
+
+        def forward(self, x):
+            return self.block(x)
+
+    class TDec(tnn.Module):
+        def __init__(self, input_channel, channels, rates, d_out):
+            super().__init__()
+            layers = [WNC(input_channel, channels, kernel_size=7, padding=3)]
+            ch = channels
+            for r in rates:
+                layers.append(DB(ch, ch // 2, r))
+                ch //= 2
+            layers += [Snake1d(ch), WNC(ch, d_out, kernel_size=7, padding=3),
+                       tnn.Tanh()]
+            self.model = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.model(x)
+
+    d_model, strides, in_ch, latent = 8, (2, 4), 2, 6
+    enc_t = TEnc(d_model, strides, in_ch).eval()
+    proj_t = tnn.Conv1d(d_model * 4, latent, kernel_size=1)
+    dec_t = TDec(latent // 2, 16, (4, 2), in_ch).eval()
+
+    sd = {f"encoder.encoder.{k}": v.detach().numpy()
+          for k, v in enc_t.state_dict().items()}
+    sd.update({f"encoder.proj_out.{k}": v.detach().numpy()
+               for k, v in proj_t.state_dict().items()})
+    sd.update({f"decoder.decoder.{k}": v.detach().numpy()
+               for k, v in dec_t.state_dict().items()})
+
+    from stable_audio_tools_tpu.io.checkpoints import import_autoencoder_state_dict
+    from stable_audio_tools_tpu.models.dac import DACDecoder, DACEncoder
+
+    enc = DACEncoder(d_model=d_model, strides=strides, in_channels=in_ch,
+                     latent_dim=latent)
+    dec = DACDecoder(input_channel=latent // 2, channels=16, rates=(4, 2),
+                     d_out=in_ch)
+
+    class _M:
+        encoder = enc
+        decoder = dec
+
+    variables = import_autoencoder_state_dict(_M(), sd)
+
+    x = np.random.RandomState(3).randn(1, in_ch, 256).astype(np.float32)
+    with torch.no_grad():
+        z_t = proj_t(enc_t(torch.from_numpy(x))).numpy()
+    z_j = np.asarray(enc.apply(
+        {"params": variables["params"]["encoder"]},
+        jnp.asarray(x.transpose(0, 2, 1)))).transpose(0, 2, 1)
+    np.testing.assert_allclose(z_j, z_t, rtol=1e-4, atol=1e-5)
+
+    lat = np.random.RandomState(4).randn(1, latent // 2, 16).astype(np.float32)
+    with torch.no_grad():
+        y_t = dec_t(torch.from_numpy(lat)).numpy()
+    y_j = np.asarray(dec.apply(
+        {"params": variables["params"]["decoder"]},
+        jnp.asarray(lat.transpose(0, 2, 1)))).transpose(0, 2, 1)
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-5)
