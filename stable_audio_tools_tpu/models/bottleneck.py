@@ -219,6 +219,10 @@ class ResidualVQ(nn.Module):
     eps: float = 1e-5
     kmeans_init: bool = False
     kmeans_iters: int = 10
+    # dead-code revival (vector-quantize-pytorch `threshold_ema_dead_code`):
+    # codes whose EMA usage falls below the threshold are re-seeded from
+    # random batch vectors on the next training step. 0 disables.
+    threshold_ema_dead_code: float = 0.0
 
     @nn.compact
     def __call__(self, x, train=False, n_quantizers: Optional[int] = None):
@@ -288,6 +292,27 @@ class ResidualVQ(nn.Module):
                 n = jnp.sum(c_new)
                 c_smoothed = (c_new + self.eps) / (n + self.codebook_size * self.eps) * n
                 cb_new = s_new / c_smoothed[:, None]
+                if self.threshold_ema_dead_code > 0:
+                    # re-seed expired codes from random batch vectors
+                    if self.has_rng("sample"):
+                        rk = self.make_rng("sample")
+                    else:
+                        rk = jax.random.fold_in(
+                            jax.random.PRNGKey(17), jnp.sum(idx).astype(jnp.int32)
+                        )
+                    sel = jax.random.randint(
+                        rk, (self.codebook_size,), 0, residual.shape[0]
+                    )
+                    samples = jax.lax.stop_gradient(residual)[sel]
+                    dead = c_new < self.threshold_ema_dead_code
+                    cb_new = jnp.where(dead[:, None], samples, cb_new)
+                    c_new = jnp.where(
+                        dead, jnp.full_like(c_new, self.threshold_ema_dead_code),
+                        c_new,
+                    )
+                    s_new = jnp.where(
+                        dead[:, None], samples * self.threshold_ema_dead_code, s_new
+                    )
                 new_codebooks.append(cb_new)
                 new_counts.append(c_new)
                 new_sums.append(s_new)
@@ -329,6 +354,8 @@ class RVQBottleneck(Bottleneck):
     tokens_id: str = "quantizer_indices"
     kmeans_init: bool = True
     kmeans_iters: int = 50
+    decay: float = 0.99
+    threshold_ema_dead_code: float = 0.0
 
     def setup(self):
         self.quantizer = ResidualVQ(
@@ -337,6 +364,8 @@ class RVQBottleneck(Bottleneck):
             num_quantizers=self.num_quantizers,
             kmeans_init=self.kmeans_init,
             kmeans_iters=self.kmeans_iters,
+            decay=self.decay,
+            threshold_ema_dead_code=self.threshold_ema_dead_code,
         )
 
     def encode(self, x, return_info=False, train=False):
@@ -361,6 +390,8 @@ class RVQVAEBottleneck(Bottleneck):
     tokens_id: str = "quantizer_indices"
     kmeans_init: bool = True
     kmeans_iters: int = 50
+    decay: float = 0.99
+    threshold_ema_dead_code: float = 0.0
 
     def setup(self):
         self.quantizer = ResidualVQ(
@@ -369,6 +400,8 @@ class RVQVAEBottleneck(Bottleneck):
             num_quantizers=self.num_quantizers,
             kmeans_init=self.kmeans_init,
             kmeans_iters=self.kmeans_iters,
+            decay=self.decay,
+            threshold_ema_dead_code=self.threshold_ema_dead_code,
         )
 
     def encode(self, x, return_info=False, train=False):

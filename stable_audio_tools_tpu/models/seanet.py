@@ -20,12 +20,14 @@ from ..ops.conv import WNConv1d, WNConvTranspose1d
 class SEANetResnetBlock(nn.Module):
     dim: int
     compress: int = 2
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
         hidden = self.dim // self.compress
         y = jax.nn.elu(x)
-        y = WNConv1d(features=hidden, kernel_size=3, padding=1, name="conv1")(y)
+        y = WNConv1d(features=hidden, kernel_size=3, dilation=self.dilation,
+                     padding=self.dilation, name="conv1")(y)
         y = jax.nn.elu(y)
         y = WNConv1d(features=self.dim, kernel_size=1, name="conv2")(y)
         return x + y
@@ -50,6 +52,8 @@ class SEANetEncoder(nn.Module):
     n_filters: int = 32
     ratios: Sequence[int] = (2, 2, 2, 2, 2)  # NB: caller reverses (factory)
     n_residual_layers: int = 1
+    dilation_base: int = 2
+    norm: str = "weight_norm"  # accepted for config parity; convs are WN
     lstm: int = 2
 
     @nn.compact
@@ -59,7 +63,9 @@ class SEANetEncoder(nn.Module):
                      name="conv_in")(x)
         for i, ratio in enumerate(self.ratios):
             for j in range(self.n_residual_layers):
-                x = SEANetResnetBlock(mult * self.n_filters, name=f"res_{i}_{j}")(x)
+                x = SEANetResnetBlock(mult * self.n_filters,
+                                      dilation=self.dilation_base ** j,
+                                      name=f"res_{i}_{j}")(x)
             x = jax.nn.elu(x)
             # encodec pads kernel-stride total, asymmetric → exact T/ratio
             x = WNConv1d(
@@ -80,6 +86,8 @@ class SEANetDecoder(nn.Module):
     n_filters: int = 32
     ratios: Sequence[int] = (8, 5, 4, 2)
     n_residual_layers: int = 1
+    dilation_base: int = 2
+    norm: str = "weight_norm"  # accepted for config parity; convs are WN
     lstm: int = 2
     final_tanh: bool = False
 
@@ -103,7 +111,9 @@ class SEANetDecoder(nn.Module):
             elif x.shape[1] > target_len:
                 x = x[:, :target_len, :]
             for j in range(self.n_residual_layers):
-                x = SEANetResnetBlock(mult * self.n_filters // 2, name=f"res_{i}_{j}")(x)
+                x = SEANetResnetBlock(mult * self.n_filters // 2,
+                                      dilation=self.dilation_base ** j,
+                                      name=f"res_{i}_{j}")(x)
             mult //= 2
         x = jax.nn.elu(x)
         x = WNConv1d(features=self.channels, kernel_size=7, padding=3, name="conv_out")(x)

@@ -237,3 +237,28 @@ def test_dac_seanet_encoders():
     vsd = sdec.init(jax.random.PRNGKey(0), zs)
     ys = sdec.apply(vsd, zs)
     assert ys.shape == (1, 512, 1)
+
+
+def test_rvq_dead_code_revival():
+    """Codes with EMA usage below threshold are re-seeded from the batch."""
+    from stable_audio_tools_tpu.models.bottleneck import ResidualVQ
+
+    q = ResidualVQ(dim=4, codebook_size=16, num_quantizers=1, decay=0.5,
+                   threshold_ema_dead_code=2.0, kmeans_init=False)
+    # batch that only ever hits a few codes → most codes decay toward dead
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 4).astype(np.float32))
+    variables = q.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    qs = variables["quantizer_state"]
+    for step in range(5):
+        (_, _, _), updates = q.apply(
+            {"quantizer_state": qs}, x, train=True,
+            rngs={"sample": jax.random.PRNGKey(step)},
+            mutable=["quantizer_state"],
+        )
+        qs = updates["quantizer_state"]
+    counts = np.asarray(qs["ema_counts"][0])
+    # revival keeps every code's EMA count at >= threshold
+    assert counts.min() >= 2.0 - 1e-5
+    # revived codes sit near actual batch vectors (finite, reasonable range)
+    cb = np.asarray(qs["codebooks"][0])
+    assert np.isfinite(cb).all() and np.abs(cb).max() < 10
