@@ -123,10 +123,25 @@ def import_diffusion_cond_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dic
     import jax
     import jax.numpy as jnp
 
-    dit_cfg = model.model.dit
-    params: dict = {"model": {"dit": import_dit(
-        sd, "model.model.", dit_cfg.depth, dit_cfg.cond_token_dim > 0
-    )}}
+    inner = model.model
+    if hasattr(inner, "dit"):
+        dit_cfg = inner.dit
+        params: dict = {"model": {"dit": import_dit(
+            sd, "model.model.", dit_cfg.depth, dit_cfg.cond_token_dim > 0
+        )}}
+    else:
+        # ADP UNet families (reference diffusion.py:222-336 wrap the UNet as
+        # .model; our wrappers name the flax submodule 'unet')
+        unet = inner.unet
+        if type(unet).__name__ == "UNetCFG1d":
+            unet_params = import_adp_unet_cfg(
+                sd, "model.model.", unet.factors, unet.use_nearest_upsample
+            )
+        else:
+            unet_params = import_adp_unet1d(
+                sd, "model.model.", unet.factors, unet.use_nearest_upsample
+            )
+        params = {"model": {"unet": unet_params}}
 
     if model.pretransform is not None and any(
         k.startswith("pretransform.") for k in sd
@@ -188,6 +203,166 @@ def import_diffusion_cond_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dic
                 host_cond.load_torch_state_dict(sd, pfx)
 
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+# ---------------------------------------------------------------------------
+# ADP UNet (SA-1.0) importer — reference models/adp.py:986-1384 layout
+# ---------------------------------------------------------------------------
+
+
+def _affine(sd, name):
+    """torch GroupNorm/LayerNorm affine → flax {scale, bias}."""
+    return {"scale": sd[f"{name}.weight"].astype(np.float32),
+            "bias": sd[f"{name}.bias"].astype(np.float32)}
+
+
+def _adp_conv(sd, name):
+    from .checkpoints import torch_conv1d_weight as _c1d
+
+    out = {"kernel": _c1d(sd[f"{name}.weight"]).astype(np.float32)}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return out
+
+
+def _adp_conv_t(sd, name):
+    from .checkpoints import torch_conv_transpose1d_weight as _ct
+
+    return {"kernel": _ct(sd[f"{name}.weight"]).astype(np.float32),
+            "bias": sd[f"{name}.bias"].astype(np.float32)}
+
+
+def _adp_convblock(sd, name):
+    p = {"project": _adp_conv(sd, f"{name}.project")}
+    if f"{name}.groupnorm.weight" in sd:
+        p["groupnorm"] = _affine(sd, f"{name}.groupnorm")
+    return p
+
+
+def _adp_resnet(sd, name):
+    """reference adp.py ResnetBlock1d (:275-333): block1/block2 ConvBlock1d,
+    to_scale_shift = MappingToScaleShift (Sequential [SiLU, Linear]),
+    to_out 1x1 conv when in != out channels."""
+    p = {"block1": _adp_convblock(sd, f"{name}.block1"),
+         "block2": _adp_convblock(sd, f"{name}.block2")}
+    if f"{name}.to_scale_shift.to_scale_shift.1.weight" in sd:
+        p["to_scale_shift"] = _lin_b(sd, f"{name}.to_scale_shift.to_scale_shift.1")
+    if f"{name}.to_out.weight" in sd:
+        p["to_out"] = _adp_conv(sd, f"{name}.to_out")
+    return p
+
+
+def _adp_attention(sd, name):
+    """reference adp.py Attention (:475-530): biased LayerNorms norm /
+    norm_context, bias-free to_q/to_kv, AttentionBase.to_out linear."""
+    return {"norm": _affine(sd, f"{name}.norm"),
+            "norm_context": _affine(sd, f"{name}.norm_context"),
+            "to_q": _lin(sd, f"{name}.to_q"),
+            "to_kv": _lin(sd, f"{name}.to_kv"),
+            "to_out": _lin_b(sd, f"{name}.attention.to_out")}
+
+
+def _adp_transformer1d(sd, name):
+    """reference adp.py Transformer1d (:587-635): to_in = [GroupNorm, Conv1d],
+    blocks.{i} TransformerBlock, to_out = [Rearrange, Conv1d]."""
+    p = {"norm_in": _affine(sd, f"{name}.to_in.0"),
+         "conv_in": _adp_conv(sd, f"{name}.to_in.1"),
+         "conv_out": _adp_conv(sd, f"{name}.to_out.1")}
+    i = 0
+    while f"{name}.blocks.{i}.attention.norm.weight" in sd:
+        blk = {"attention": _adp_attention(sd, f"{name}.blocks.{i}.attention"),
+               "ff1": _lin_b(sd, f"{name}.blocks.{i}.feed_forward.0"),
+               "ff2": _lin_b(sd, f"{name}.blocks.{i}.feed_forward.2")}
+        if f"{name}.blocks.{i}.cross_attention.norm.weight" in sd:
+            blk["cross_attention"] = _adp_attention(
+                sd, f"{name}.blocks.{i}.cross_attention"
+            )
+        p[f"block_{i}"] = blk
+        i += 1
+    return p
+
+
+def _adp_tpe(sd, name):
+    """reference TimePositionalEmbedding = Sequential(LearnedPositionalEmbedding,
+    Linear) (adp.py:675-682)."""
+    return {"weights": sd[f"{name}.0.weights"].astype(np.float32),
+            "to_out": _lin_b(sd, f"{name}.1")}
+
+
+def import_adp_unet1d(sd, prefix: str, factors: tp.Sequence[int],
+                      use_nearest_upsample: bool = False) -> dict:
+    """torch UNet1d state dict (reference adp.py:986-1236) → our UNet1d params.
+
+    Structure is inferred from the state-dict keys (block/transformer counts);
+    only the upsample conv kind needs `factors`/`use_nearest_upsample` because
+    Conv1d (factor==1 / nearest) and ConvTranspose1d weights are both named
+    `upsample.weight` but have transposed layouts.
+    """
+    p: dict = {}
+    if f"{prefix}to_time.0.0.weights" in sd:
+        p["to_time"] = _adp_tpe(sd, f"{prefix}to_time.0")
+    if f"{prefix}to_features.0.weight" in sd:
+        p["to_features"] = _lin_b(sd, f"{prefix}to_features.0")
+    if f"{prefix}to_mapping.0.weight" in sd:
+        p["to_mapping_0"] = _lin_b(sd, f"{prefix}to_mapping.0")
+        p["to_mapping_2"] = _lin_b(sd, f"{prefix}to_mapping.2")
+
+    p["to_in"] = {"block": _adp_resnet(sd, f"{prefix}to_in.block")}
+
+    num_layers = len(factors)
+    for i in range(num_layers):
+        src = f"{prefix}downsamples.{i}"
+        d = {"downsample": _adp_conv(sd, f"{src}.downsample")}
+        j = 0
+        while f"{src}.blocks.{j}.block1.project.weight" in sd:
+            d[f"block_{j}"] = _adp_resnet(sd, f"{src}.blocks.{j}")
+            j += 1
+        if f"{src}.transformer.to_in.0.weight" in sd:
+            d["transformer"] = _adp_transformer1d(sd, f"{src}.transformer")
+        p[f"downsamples_{i}"] = d
+
+    bott = {"pre_block": _adp_resnet(sd, f"{prefix}bottleneck.pre_block"),
+            "post_block": _adp_resnet(sd, f"{prefix}bottleneck.post_block")}
+    if f"{prefix}bottleneck.transformer.to_in.0.weight" in sd:
+        bott["transformer"] = _adp_transformer1d(sd, f"{prefix}bottleneck.transformer")
+    p["bottleneck"] = bott
+
+    # torch upsamples are built over reversed(range(num_layers)) so
+    # upsamples.{j} corresponds to level i = num_layers - 1 - j — same order
+    # our upsamples_{j} run in.
+    for j in range(num_layers):
+        level = num_layers - 1 - j
+        src = f"{prefix}upsamples.{j}"
+        u: dict = {}
+        k = 0
+        while f"{src}.blocks.{k}.block1.project.weight" in sd:
+            u[f"block_{k}"] = _adp_resnet(sd, f"{src}.blocks.{k}")
+            k += 1
+        if f"{src}.transformer.to_in.0.weight" in sd:
+            u["transformer"] = _adp_transformer1d(sd, f"{src}.transformer")
+        factor = factors[level]
+        if factor == 1:
+            u["upsample"] = _adp_conv(sd, f"{src}.upsample")
+        elif use_nearest_upsample:
+            u["upsample"] = _adp_conv(sd, f"{src}.upsample.1")
+        else:
+            u["upsample"] = _adp_conv_t(sd, f"{src}.upsample")
+        p[f"upsamples_{j}"] = u
+
+    p["to_out"] = {"block": _adp_resnet(sd, f"{prefix}to_out.block")}
+    return p
+
+
+def import_adp_unet_cfg(sd, prefix: str, factors: tp.Sequence[int],
+                        use_nearest_upsample: bool = False) -> dict:
+    """torch UNetCFG1d (reference adp.py:1262-1384) → our UNetCFG1d params."""
+    p = {"unet": import_adp_unet1d(sd, prefix, factors, use_nearest_upsample)}
+    p["fixed_embedding"] = sd[
+        f"{prefix}fixed_embedding.embedding.weight"
+    ].astype(np.float32)
+    if f"{prefix}to_time_embedding.0.0.weights" in sd:
+        p["to_time_embedding"] = _adp_tpe(sd, f"{prefix}to_time_embedding.0")
+    return p
 
 
 # ---------------------------------------------------------------------------

@@ -194,13 +194,20 @@ class ADPAttention(nn.Module):
         features = x.shape[-1]
         mid = self.head_features * self.num_heads
         ctx = context if context is not None else x
-        # adp Attention: LayerNorm on x (and context), to_q / to_kv
-        xn = nn.LayerNorm(use_bias=False, name="norm")(x)
-        cn = nn.LayerNorm(use_bias=False, name="norm_context")(ctx) \
-            if context is not None else xn
+        # adp Attention (reference adp.py:475-530): norm / norm_context are
+        # *both* biased LayerNorms, and norm_context is applied even in
+        # self-attention (context defaults to x but uses separate params).
+        xn = nn.LayerNorm(name="norm")(x)
+        cn = nn.LayerNorm(name="norm_context")(ctx)
         q = nn.Dense(mid, use_bias=False, name="to_q", param_dtype=jnp.float32)(xn)
         kv = nn.Dense(mid * 2, use_bias=False, name="to_kv", param_dtype=jnp.float32)(cn)
         k, v = jnp.split(kv, 2, axis=-1)
+        if context_mask is not None:
+            # reference zeroes masked k/v rows (adp.py:522-525) instead of
+            # -inf softmax masking; match exactly for checkpoint parity.
+            m = context_mask.astype(k.dtype)[:, :, None]
+            k = k * m
+            v = v * m
 
         def split_heads(t):
             B, N, _ = t.shape
@@ -210,7 +217,6 @@ class ADPAttention(nn.Module):
 
         out = dot_product_attention(
             split_heads(q), split_heads(k), split_heads(v), causal=causal,
-            mask=context_mask.astype(bool) if context_mask is not None else None,
         )
         B, H, N, D = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
@@ -235,7 +241,7 @@ class ADPTransformerBlock(nn.Module):
             )(x, context=context, context_mask=context_mask) + x
         h = nn.Dense(x.shape[-1] * self.multiplier, name="ff1",
                      param_dtype=jnp.float32)(x)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default is exact
         x = nn.Dense(x.shape[-1], name="ff2", param_dtype=jnp.float32)(h) + x
         return x
 
@@ -257,8 +263,8 @@ class Transformer1d(nn.Module):
                 self.head_features, self.num_heads, self.multiplier,
                 self.context_features, name=f"block_{i}",
             )(h, context=context, context_mask=context_mask, causal=causal)
-        h = ADPConv1d(channels, 1, name="conv_out")(h)
-        return h + x
+        # reference Transformer1d (adp.py:628-634) has NO outer residual
+        return ADPConv1d(channels, 1, name="conv_out")(h)
 
 
 class TimePositionalEmbedding(nn.Module):
@@ -470,18 +476,18 @@ class UNet1d(nn.Module):
             if self.use_context_time:
                 te = TimePositionalEmbedding(self.channels, mapping_features,
                                              name="to_time")(time)
-                items.append(jax.nn.gelu(te))
+                items.append(jax.nn.gelu(te, approximate=False))
             if self.context_features is not None:
                 fe = nn.Dense(mapping_features, name="to_features",
                               param_dtype=jnp.float32)(features)
-                items.append(jax.nn.gelu(fe))
+                items.append(jax.nn.gelu(fe, approximate=False))
             mapping = sum(items)
             h = nn.Dense(mapping_features, name="to_mapping_0",
                          param_dtype=jnp.float32)(mapping)
-            h = jax.nn.gelu(h)
+            h = jax.nn.gelu(h, approximate=False)
             h = nn.Dense(mapping_features, name="to_mapping_2",
                          param_dtype=jnp.float32)(h)
-            mapping = jax.nn.gelu(h)
+            mapping = jax.nn.gelu(h, approximate=False)
 
         xl = Patcher(
             self.channels * self.multipliers[0], self.patch_size,
@@ -636,7 +642,7 @@ class UNetCFG1d(nn.Module):
                 name="to_time_embedding",
             )(time)
             embedding = jnp.concatenate(
-                [embedding, jax.nn.gelu(te)[:, None, :]], axis=1
+                [embedding, jax.nn.gelu(te, approximate=False)[:, None, :]], axis=1
             )
             if embedding_mask is not None:
                 embedding_mask = jnp.concatenate(
