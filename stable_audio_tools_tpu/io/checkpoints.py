@@ -306,6 +306,96 @@ def import_dac_decoder(sd, prefix: str, n_blocks: int) -> dict:
     return p
 
 
+def import_torch_lstm(sd, prefix: str, num_layers: int) -> dict:
+    """Stacked torch nn.LSTM → our SEANetLSTM params (per-gate flax cells).
+
+    torch packs gates as [i, f, g, o] rows of weight_ih_l{n} [4H, in] /
+    weight_hh_l{n} [4H, H]; flax OptimizedLSTMCell uses per-gate dense layers
+    i{g} (no bias) and h{g} (bias), so b = b_ih + b_hh lands on the h dense.
+    """
+    p = {}
+    for n in range(num_layers):
+        wih = sd[f"{prefix}.weight_ih_l{n}"]
+        whh = sd[f"{prefix}.weight_hh_l{n}"]
+        bih = sd[f"{prefix}.bias_ih_l{n}"]
+        bhh = sd[f"{prefix}.bias_hh_l{n}"]
+        H = whh.shape[1]
+        cell = {}
+        for gi, gate in enumerate(("i", "f", "g", "o")):
+            sl = slice(gi * H, (gi + 1) * H)
+            cell[f"i{gate}"] = {"kernel": wih[sl].T.astype(np.float32)}
+            cell[f"h{gate}"] = {
+                "kernel": whh[sl].T.astype(np.float32),
+                "bias": (bih[sl] + bhh[sl]).astype(np.float32),
+            }
+        p[f"lstm_{n}"] = cell
+    return p
+
+
+def _seanet_sconv(sd, name):
+    """encodec SConv1d (`.conv.conv` weight-norm nesting) → EncodecConv1d."""
+    return {"conv": convert_wn_conv1d(sd, f"{name}.conv.conv")}
+
+
+def _seanet_resblock(sd, name):
+    p = {"conv1": _seanet_sconv(sd, f"{name}.block.1"),
+         "conv2": _seanet_sconv(sd, f"{name}.block.3")}
+    if f"{name}.shortcut.conv.conv.weight_g" in sd or \
+            f"{name}.shortcut.conv.conv.weight" in sd or \
+            f"{name}.shortcut.conv.conv.parametrizations.weight.original0" in sd:
+        p["shortcut"] = _seanet_sconv(sd, f"{name}.shortcut")
+    return p
+
+
+def import_seanet_encoder(sd, prefix: str, n_ratios: int,
+                          n_residual_layers: int = 1, lstm: int = 2) -> dict:
+    """pip-encodec SEANetEncoder state dict → our SEANetEncoder params.
+
+    torch Sequential layout (encodec modules/seanet.py): model.0 = SConv1d in;
+    per ratio: R resnet blocks, ELU, down SConv1d (R+2 indices); then SLSTM,
+    ELU, SConv1d out.
+    """
+    R = n_residual_layers
+    p = {"conv_in": _seanet_sconv(sd, f"{prefix}model.0")}
+    for i in range(n_ratios):
+        base = 1 + i * (R + 2)
+        for j in range(R):
+            p[f"res_{i}_{j}"] = _seanet_resblock(sd, f"{prefix}model.{base + j}")
+        p[f"down_{i}"] = _seanet_sconv(sd, f"{prefix}model.{base + R + 1}")
+    base = 1 + n_ratios * (R + 2)
+    if lstm:
+        p["lstm"] = import_torch_lstm(sd, f"{prefix}model.{base}.lstm", lstm)
+        base += 1
+    p["conv_out"] = _seanet_sconv(sd, f"{prefix}model.{base + 1}")
+    return p
+
+
+def import_seanet_decoder(sd, prefix: str, n_ratios: int,
+                          n_residual_layers: int = 1, lstm: int = 2) -> dict:
+    """pip-encodec SEANetDecoder layout: model.0 = SConv1d in; SLSTM; per
+    ratio: ELU, SConvTranspose1d, R resnet blocks; then ELU, SConv1d out."""
+    R = n_residual_layers
+    p = {"conv_in": _seanet_sconv(sd, f"{prefix}model.0")}
+    base = 1
+    if lstm:
+        p["lstm"] = import_torch_lstm(sd, f"{prefix}model.{base}.lstm", lstm)
+        base += 1
+    for i in range(n_ratios):
+        start = base + i * (R + 2)
+        p[f"up_{i}"] = {
+            "conv": convert_wn_conv_transpose1d(
+                sd, f"{prefix}model.{start + 1}.convtr.convtr"
+            )
+        }
+        for j in range(R):
+            p[f"res_{i}_{j}"] = _seanet_resblock(
+                sd, f"{prefix}model.{start + 2 + j}"
+            )
+    end = base + n_ratios * (R + 2)
+    p["conv_out"] = _seanet_sconv(sd, f"{prefix}model.{end + 1}")
+    return p
+
+
 def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
     """Reference AudioAutoencoder torch state dict → our variables dict.
 
@@ -315,6 +405,14 @@ def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
     enc = model.encoder
     dec = model.decoder
     params = {}
+    if type(enc).__name__ == "SEANetEncoder":
+        params["encoder"] = import_seanet_encoder(
+            sd, "encoder.", len(enc.ratios), enc.n_residual_layers, enc.lstm
+        )
+        params["decoder"] = import_seanet_decoder(
+            sd, "decoder.", len(dec.ratios), dec.n_residual_layers, dec.lstm
+        )
+        return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
     if type(enc).__name__ == "DACEncoder":
         # reference DACEncoderWrapper nests the tower under `encoder.` and
         # keeps the backwards-compat proj at wrapper level

@@ -77,9 +77,10 @@ def create_encoder_from_config(encoder_config: Dict[str, Any]):
         # at d_model*2^len(strides) and `latent_dim` adds a 1x1 proj after it
         return DACEncoder(**_filter_kwargs(DACEncoder, cfg))
     elif enc_type == "seanet":
-        cfg = dict(cfg)
-        # SEANet encoder expects strides reversed (reference autoencoders.py:795-800)
-        cfg["ratios"] = list(reversed(cfg.get("ratios", [2, 2, 2, 2, 2])))
+        # The reference reverses ratios before pip SEANetEncoder
+        # (autoencoders.py:795-800), and pip encodec re-reverses internally —
+        # net effect: the encoder downsamples in *config order*. Our module
+        # iterates ratios directly, so pass them through unchanged.
         return SEANetEncoder(**_filter_kwargs(SEANetEncoder, cfg))
     elif enc_type == "local_attn":
         from .local_attention import TransformerEncoder1D
