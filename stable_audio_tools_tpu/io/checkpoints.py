@@ -441,6 +441,82 @@ def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 
 
+def _fold_wn_1x1_to_dense(sd, prefix):
+    """torch weight-norm 1x1 Conv1d → flax Dense {kernel, bias}."""
+    wn = convert_wn_conv1d(sd, prefix)
+    v, g = wn["v"], wn["g"]  # v: [1, in, out]
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = v * (g[None, None, :] / norm)
+    out = {"kernel": w[0].astype(np.float32)}
+    if "bias" in wn:
+        out["bias"] = wn["bias"]
+    return out
+
+
+def import_dac_rvq(sd, prefix: str, n_codebooks: int) -> dict:
+    """dac.nn.quantize.ResidualVectorQuantize → our DACResidualVQ params.
+
+    torch layout: quantizers.{i}.in_proj / .out_proj (weight-norm 1x1 convs,
+    folded into plain Dense kernels) and .codebook.weight [size, dim]."""
+    p = {}
+    for i in range(n_codebooks):
+        q = f"{prefix}quantizers.{i}"
+        p[f"quantizers_{i}"] = {
+            "in_proj": _fold_wn_1x1_to_dense(sd, f"{q}.in_proj"),
+            "out_proj": _fold_wn_1x1_to_dense(sd, f"{q}.out_proj"),
+            "codebook": sd[f"{q}.codebook.weight"].astype(np.float32),
+        }
+    return p
+
+
+def import_encodec_rvq(sd, prefix: str, num_quantizers: int) -> dict:
+    """encodec/audiocraft ResidualVectorQuantizer → ResidualVQ state.
+
+    torch layout: vq.layers.{i}._codebook.{embed, embed_avg, cluster_size,
+    inited}. Returns the 'quantizer_state' collection subtree."""
+    embeds, avgs, counts = [], [], []
+    for i in range(num_quantizers):
+        cb = f"{prefix}vq.layers.{i}._codebook"
+        embed = sd[f"{cb}.embed"].astype(np.float32)
+        embeds.append(embed)
+        avgs.append(sd.get(f"{cb}.embed_avg", embed).astype(np.float32))
+        cs = sd.get(f"{cb}.cluster_size")
+        counts.append(cs.astype(np.float32) if cs is not None
+                      else np.ones(embed.shape[0], np.float32))
+    return {
+        "codebooks": np.stack(embeds),
+        "ema_sums": np.stack(avgs),
+        "ema_counts": np.stack(counts),
+        "initted": np.asarray(True),
+    }
+
+
+def import_codec_variables(model, sd: tp.Dict[str, np.ndarray]) -> dict:
+    """Full pretrained codec (towers + quantizer) → variables dict.
+
+    Handles the dac.DAC layout (encoder/decoder/quantizer.*) and the
+    encodec/audiocraft EncodecModel layout. Used by the dac_pretrained /
+    audiocraft_pretrained pretransforms (reference pretransforms.py:167,228).
+    """
+    variables = import_autoencoder_state_dict(model, sd)
+    bneck = model.bottleneck
+    bname = type(bneck).__name__ if bneck is not None else ""
+    if bname in ("DACRVQBottleneck", "DACRVQVAEBottleneck"):
+        variables["params"]["bottleneck"] = {
+            "quantizer": import_dac_rvq(sd, "quantizer.", bneck.n_codebooks)
+        }
+    elif bname in ("RVQBottleneck", "RVQVAEBottleneck") and any(
+        k.startswith("quantizer.vq.layers.") for k in sd
+    ):
+        variables["quantizer_state"] = {
+            "bottleneck": {"quantizer": jax.tree_util.tree_map(
+                jnp.asarray,
+                import_encodec_rvq(sd, "quantizer.", bneck.num_quantizers),
+            )}
+        }
+    return jax.tree_util.tree_map(jnp.asarray, variables)
+
+
 def remove_weight_norm_from_model(params):
     """Re-normalize WN params so g == ||v|| (reference models/utils.py:31).
 

@@ -370,7 +370,8 @@ class RVQBottleneck(Bottleneck):
 
     def encode(self, x, return_info=False, train=False):
         z, indices, loss = self.quantizer(x, train=train)
-        info = {"quantizer_indices": indices, "quantizer_loss": jnp.mean(loss)}
+        info = {"quantizer_indices": jnp.swapaxes(indices, 1, 2),  # [B, Q, T]
+                "quantizer_loss": jnp.mean(loss)}
         if return_info:
             return z, info
         return z
@@ -379,6 +380,9 @@ class RVQBottleneck(Bottleneck):
         return x
 
     def decode_tokens(self, codes, train=False):
+        """codes: [B, Q, T] reference layout (or [B, T, Q])."""
+        if codes.shape[-1] != self.num_quantizers:
+            codes = jnp.swapaxes(codes, 1, 2)
         return self.decode(self.quantizer.get_outputs_from_indices(codes))
 
 
@@ -408,7 +412,8 @@ class RVQVAEBottleneck(Bottleneck):
         mean, scale = jnp.split(x, 2, axis=-1)
         z, kl = vae_sample(mean, scale, self.make_rng("sample"))
         z, indices, loss = self.quantizer(z, train=train)
-        info = {"kl": kl, "quantizer_indices": indices, "quantizer_loss": jnp.mean(loss)}
+        info = {"kl": kl, "quantizer_indices": jnp.swapaxes(indices, 1, 2),
+                "quantizer_loss": jnp.mean(loss)}
         if return_info:
             return z, info
         return z
@@ -417,6 +422,8 @@ class RVQVAEBottleneck(Bottleneck):
         return x
 
     def decode_tokens(self, codes, train=False):
+        if codes.shape[-1] != self.num_quantizers:
+            codes = jnp.swapaxes(codes, 1, 2)
         return self.decode(self.quantizer.get_outputs_from_indices(codes))
 
 
@@ -527,25 +534,24 @@ class DACRVQBottleneck(Bottleneck):
 
     def encode(self, x, return_info=False, train=False, n_quantizers=None):
         info = {"pre_quantizer": x}
-        if self.quantize_on_decode:
-            return (x, info) if return_info else x
+        if self.quantize_on_decode and not return_info:
+            return x
         z, codes, latents, commitment, codebook_loss = self.quantizer(x, n_quantizers)
         info.update(
             {
                 "z": z,
-                "codes": codes,
+                "codes": jnp.swapaxes(codes, 1, 2),  # [B, Q, T] (dac layout)
                 "latents": latents,
                 "vq/commitment_loss": commitment / self.n_codebooks,
                 "vq/codebook_loss": codebook_loss / self.n_codebooks,
             }
         )
         if return_info:
-            return z, info
+            # quantize_on_decode: latents pass through, codes still reported
+            return (x if self.quantize_on_decode else z), info
         return z
 
-    def decode(self, x, train=False):
-        if self.quantize_on_decode:
-            x = self.quantizer(x)[0]
+    def _augment(self, x):
         if self.noise_augment_dim > 0:
             noise = jax.random.normal(
                 self.make_rng("sample"),
@@ -555,8 +561,19 @@ class DACRVQBottleneck(Bottleneck):
             x = jnp.concatenate([x, noise], axis=-1)
         return x
 
+    def decode(self, x, train=False):
+        if self.quantize_on_decode:
+            x = self.quantizer(x)[0]
+        return self._augment(x)
+
     def decode_tokens(self, codes, train=False):
-        return self.decode(self.quantizer.from_codes(codes))
+        """codes: [B, Q, T] reference/dac layout (or [B, T, Q]).
+
+        from_codes already yields quantized latents — never re-quantize, even
+        with quantize_on_decode (reference pretransforms.py:224-226)."""
+        if codes.shape[-1] != self.n_codebooks:
+            codes = jnp.swapaxes(codes, 1, 2)
+        return self._augment(self.quantizer.from_codes(codes))
 
 
 class DACRVQVAEBottleneck(Bottleneck):
@@ -602,7 +619,10 @@ class DACRVQVAEBottleneck(Bottleneck):
         return x
 
     def decode_tokens(self, codes, train=False):
-        return self.decode(self.quantizer.from_codes(codes))
+        if codes.shape[-1] != self.n_codebooks:
+            codes = jnp.swapaxes(codes, 1, 2)
+        # from_codes yields quantized latents; skip quantize_on_decode
+        return self.quantizer.from_codes(codes)
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,112 @@ def create_pretransform_from_config(pretransform_config: Dict[str, Any], sample_
             enable_grad=enable_grad,
             downsampling_ratio=num_bands,
         )
+    elif p_type == "dac_pretrained":
+        # reference models/pretransforms.py:167 (PretrainedDACPretransform):
+        # builds dac.DAC via hub download; here the canonical descript
+        # architectures are built in-repo and weights come from ckpt_path.
+        cfg = pretransform_config.get("config", {})
+        model_type = cfg.get("model_type", "44khz")
+        arch = {
+            "44khz": dict(strides=[2, 4, 8, 8], dec_rates=[8, 8, 4, 2],
+                          n_codebooks=9, ratio=512),
+            "24khz": dict(strides=[2, 4, 5, 8], dec_rates=[8, 5, 4, 2],
+                          n_codebooks=32, ratio=320),
+            "16khz": dict(strides=[2, 4, 5, 8], dec_rates=[8, 5, 4, 2],
+                          n_codebooks=12, ratio=320),
+        }[model_type]
+        latent = cfg.get("latent_dim", 1024)
+        n_codebooks = cfg.get("n_codebooks", arch["n_codebooks"])
+        codebook_size = cfg.get("codebook_size", 1024)
+        ae_config = {
+            "sample_rate": sample_rate,
+            "model": {
+                "encoder": {"type": "dac", "config": {
+                    "in_channels": 1, "d_model": cfg.get("d_model", 64),
+                    "strides": arch["strides"]}},
+                "decoder": {"type": "dac", "config": {
+                    "latent_dim": latent, "channels": cfg.get("channels", 1536),
+                    "rates": arch["dec_rates"], "out_channels": 1}},
+                "bottleneck": {"type": "dac_rvq", "config": {
+                    "input_dim": latent, "n_codebooks": n_codebooks,
+                    "codebook_size": codebook_size,
+                    "codebook_dim": cfg.get("codebook_dim", 8),
+                    "quantize_on_decode": cfg.get("quantize_on_decode", True)}},
+                "latent_dim": latent,
+                "downsampling_ratio": arch["ratio"],
+                "io_channels": 1,
+            },
+        }
+        autoencoder = create_autoencoder_from_config(ae_config)
+        return P.PretrainedCodecPretransform(
+            model=autoencoder,
+            scale=cfg.get("scale", 1.0),
+            chunked=cfg.get("chunked", True),
+            enable_grad=False,
+            io_channels=1,
+            is_discrete=True,
+            encoded_channels=latent,
+            downsampling_ratio=arch["ratio"],
+            num_quantizers=n_codebooks,
+            codebook_size=codebook_size,
+            ckpt_path=cfg.get("ckpt_path"),
+        )
+    elif p_type == "audiocraft_pretrained":
+        # reference models/pretransforms.py:228
+        # (AudiocraftCompressionPretransform): MusicGen's EnCodec codec.
+        # encoder ratios are in *processing order* (audiocraft reverses its
+        # descending list internally); decoder upsamples descending.
+        cfg = pretransform_config.get("config", {})
+        model_type = cfg.get("model_type", "facebook/encodec_32khz")
+        arch = {
+            "facebook/encodec_32khz": dict(
+                ratios=[8, 5, 4, 4], n_filters=64, dimension=128,
+                num_quantizers=4, codebook_size=2048, channels=1),
+        }.get(model_type, dict(
+            ratios=cfg.get("ratios", [8, 5, 4, 4]),
+            n_filters=cfg.get("n_filters", 64),
+            dimension=cfg.get("dimension", 128),
+            num_quantizers=cfg.get("num_quantizers", 4),
+            codebook_size=cfg.get("codebook_size", 2048),
+            channels=cfg.get("channels", 1)))
+        ratios = list(arch["ratios"])
+        ratio = 1
+        for r in ratios:
+            ratio *= r
+        seanet_common = {
+            "channels": arch["channels"], "dimension": arch["dimension"],
+            "n_filters": arch["n_filters"], "n_residual_layers": 1,
+            "dilation_base": 2, "lstm": 2, "norm": "weight_norm",
+        }
+        ae_config = {
+            "sample_rate": sample_rate,
+            "model": {
+                "encoder": {"type": "seanet", "config": {
+                    **seanet_common, "ratios": list(reversed(ratios))}},
+                "decoder": {"type": "seanet", "config": {
+                    **seanet_common, "ratios": ratios}},
+                "bottleneck": {"type": "rvq", "config": {
+                    "dim": arch["dimension"],
+                    "num_quantizers": arch["num_quantizers"],
+                    "codebook_size": arch["codebook_size"]}},
+                "latent_dim": arch["dimension"],
+                "downsampling_ratio": ratio,
+                "io_channels": arch["channels"],
+            },
+        }
+        autoencoder = create_autoencoder_from_config(ae_config)
+        return P.PretrainedCodecPretransform(
+            model=autoencoder,
+            scale=cfg.get("scale", 1.0),
+            enable_grad=False,
+            io_channels=arch["channels"],
+            is_discrete=True,
+            encoded_channels=arch["dimension"],
+            downsampling_ratio=ratio,
+            num_quantizers=arch["num_quantizers"],
+            codebook_size=arch["codebook_size"],
+            ckpt_path=cfg.get("ckpt_path"),
+        )
     elif p_type == "patched":
         cfg = pretransform_config["config"]
         patch_size = cfg.get("patch_size", 1)

@@ -81,9 +81,29 @@ class ModelHandle:
                 lambda x, t: model.init(rngs, x, t, method=model.init_full, **kwargs)
             )(x, t)
         handle = cls(model, variables, model_config, seed)
+        pt = getattr(model, "pretransform", None)
+        if pt is not None and getattr(pt, "ckpt_path", None):
+            handle.load_pretransform_ckpt(pt.ckpt_path)
         if ckpt_path:
             handle.load(ckpt_path)
         return handle
+
+    def load_pretransform_ckpt(self, ckpt_path: str):
+        """Load a pretrained codec torch checkpoint into the pretransform
+        subtree (dac_pretrained / audiocraft_pretrained pretransforms)."""
+        from ..io.checkpoints import import_codec_variables, load_ckpt_state_dict
+
+        sd = load_ckpt_state_dict(ckpt_path)
+        imported = import_codec_variables(self.model.pretransform.model, sd)
+        variables = dict(self.variables)
+        for col, sub in imported.items():
+            tree = dict(variables.get(col, {}))
+            pre = dict(tree.get("pretransform", {}))
+            pre["model"] = sub
+            tree["pretransform"] = pre
+            variables[col] = tree
+        self.variables = variables
+        return self
 
     def load(self, ckpt_path: str):
         from ..io.checkpoints import (

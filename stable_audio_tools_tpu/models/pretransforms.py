@@ -77,6 +77,26 @@ class AutoencoderPretransform(Pretransform):
         return self.model.decode_tokens(tokens, **kwargs)
 
 
+class PretrainedCodecPretransform(AutoencoderPretransform):
+    """Frozen pretrained neural codec as a pretransform.
+
+    Covers the reference's PretrainedDACPretransform (pretransforms.py:167)
+    and AudiocraftCompressionPretransform (:228). Instead of downloading via
+    the `dac`/`audiocraft` packages, the factory builds the equivalent
+    in-repo codec (DAC towers + projected RVQ, or SEANet towers + EMA RVQ)
+    and the weights import from a local torch checkpoint through
+    io.checkpoints.import_codec_variables (`ckpt_path` in the config).
+
+    quantize_on_decode semantics (reference :170,186-219) are realized by the
+    DACRVQBottleneck's own quantize_on_decode flag: encode returns
+    pre-quantizer latents and decode quantizes first.
+    """
+
+    num_quantizers: int = 0
+    codebook_size: int = 0
+    ckpt_path: Optional[str] = None
+
+
 class PatchedPretransform(Pretransform):
     """Reshape-patching: [B, C, T] -> [B, C*patch, T/patch] (reference :111-143)."""
 

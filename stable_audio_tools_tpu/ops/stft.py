@@ -50,15 +50,36 @@ def spectrogram(x, n_fft, hop_length, win_length, power=1.0, eps=1e-8, center=Tr
 
 @lru_cache(maxsize=32)
 def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
-                   fmax: float = None) -> np.ndarray:
-    """Slaney-free HTK-style triangular mel filterbank [n_mels, n_fft//2+1]."""
+                   fmax: float = None, htk: bool = True,
+                   norm: str = None) -> np.ndarray:
+    """Triangular mel filterbank [n_mels, n_fft//2+1].
+
+    htk=True (default, existing behavior): HTK mel scale, no normalization.
+    htk=False + norm='slaney': librosa defaults (what torchlibrosa /
+    laion-clap's LogmelFilterBank build)."""
     fmax = fmax or sr / 2
 
-    def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+    if htk:
+        def hz_to_mel(f):
+            return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
 
-    def mel_to_hz(m):
-        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+        def mel_to_hz(m):
+            return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+    else:
+        # Slaney scale: linear below 1 kHz, log above
+        def hz_to_mel(f):
+            f = np.asarray(f, np.float64)
+            mel = f / (200.0 / 3.0)
+            log_step = np.log(6.4) / 27.0
+            return np.where(f >= 1000.0,
+                            15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / log_step,
+                            mel)
+
+        def mel_to_hz(m):
+            m = np.asarray(m, np.float64)
+            log_step = np.log(6.4) / 27.0
+            return np.where(m >= 15.0, 1000.0 * np.exp(log_step * (m - 15.0)),
+                            200.0 / 3.0 * m)
 
     mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
     freqs = mel_to_hz(mels)
@@ -69,6 +90,9 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
         up = (fft_freqs - lo) / max(ctr - lo, 1e-8)
         down = (hi - fft_freqs) / max(hi - ctr, 1e-8)
         fb[i] = np.clip(np.minimum(up, down), 0, None)
+    if norm == "slaney":
+        enorm = 2.0 / (freqs[2: n_mels + 2] - freqs[:n_mels])
+        fb *= enorm[:, None].astype(np.float32)
     return fb
 
 
