@@ -317,12 +317,14 @@ class T5Conditioner(HostConditioner):
     }
 
     def __init__(self, cid, output_dim, t5_model_name="t5-base", max_length=128,
-                 enable_grad=False, project_out=False, **_):
+                 enable_grad=False, project_out=False, allow_random_init=False,
+                 **_):
         super().__init__(cid)
         self.output_dim = output_dim
         self.t5_model_name = t5_model_name
         self.max_length = max_length
         self.project_out = project_out
+        self.allow_random_init = allow_random_init
         self.dim = self.T5_MODEL_DIMS[t5_model_name]
         self._t5 = None
         self._tokenizer = None
@@ -337,9 +339,19 @@ class T5Conditioner(HostConditioner):
             self._t5 = FlaxT5EncoderModel.from_pretrained(
                 self.t5_model_name, dtype=jnp.bfloat16, from_pt=True
             )
-        except Exception as e:  # zero-egress fallback: random init
+        except Exception as e:
+            if not self.allow_random_init:
+                raise RuntimeError(
+                    f"T5 weights for {self.t5_model_name} are unavailable "
+                    f"({e}) and allow_random_init is False. Load them from a "
+                    "local HF cache, import a reference checkpoint "
+                    "(load_torch_state_dict), or set allow_random_init=True "
+                    "to accept a random tower."
+                ) from e
+            # explicit opt-in fallback: random init
             logger.warning(
-                "T5 weights for %s unavailable (%s); using random init",
+                "T5 weights for %s unavailable (%s); using RANDOM INIT "
+                "(allow_random_init=True)",
                 self.t5_model_name, e,
             )
             from transformers import T5Config
@@ -437,20 +449,36 @@ class _FallbackTokenizer:
         return {"input_ids": ids, "attention_mask": mask}
 
 
+def _load_clap_state_dict(ckpt_path):
+    """Load a laion-clap checkpoint, stripping lightning/'module.' prefixes
+    (reference conditioners.py clap_load_state_dict, :100-126)."""
+    from ..io.checkpoints import load_ckpt_state_dict
+
+    sd = load_ckpt_state_dict(ckpt_path)
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[7:]
+        if k == "text_branch.embeddings.position_ids":
+            continue
+        out[k] = v
+    return out
+
+
 class CLAPTextConditioner(HostConditioner):
-    """CLAP text branch (reference :128-219): RoBERTa text tower → 512-d
-    joint-space projection (use_text_features=False) or raw hidden states at
+    """CLAP text branch (reference :128-219): full RoBERTa text tower loaded
+    from the CLAP checkpoint → 512-d joint-space embedding via pooler +
+    text_projection (use_text_features=False), or raw hidden states at
     feature_layer_ix (use_text_features=True).
 
-    Structure mirrors laion-clap (RoBERTa-base + 2-layer text_projection);
-    weights load from a local CLAP checkpoint when available (the laion-clap
-    package and HF assets aren't in this image). Without weights the tower is
-    random-init (warned) but keeps the full interface, and `set_embed_fn`
-    plugs in precomputed embeddings."""
+    Without a checkpoint the tower is a hard error unless
+    allow_random_init=True (set_embed_fn remains as a precomputed-embedding
+    hook either way)."""
 
     def __init__(self, cid, output_dim, clap_ckpt_path=None, use_text_features=False,
                  feature_layer_ix=-1, audio_model_type="HTSAT-base",
-                 enable_fusion=True, project_out=False, finetune=False, **_):
+                 enable_fusion=True, project_out=False, finetune=False,
+                 allow_random_init=False, **_):
         super().__init__(cid)
         self.output_dim = output_dim
         self.use_text_features = use_text_features
@@ -458,18 +486,84 @@ class CLAPTextConditioner(HostConditioner):
         self.dim = 768 if use_text_features else 512
         self.project_out = project_out
         self.clap_ckpt_path = clap_ckpt_path
+        self.allow_random_init = allow_random_init
         self._embed_fn = None  # pluggable: texts -> np.ndarray [B, dim]
         self._tower = None
 
     def set_embed_fn(self, fn):
         self._embed_fn = fn
 
+    def _build_roberta(self, sd):
+        """CLAP ckpt text_branch.* → FlaxRobertaModel with real weights."""
+        import torch
+        from transformers import FlaxRobertaModel, RobertaConfig
+        from transformers.modeling_flax_pytorch_utils import (
+            convert_pytorch_state_dict_to_flax,
+        )
+
+        pt = {k[len("text_branch."):]: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in sd.items() if k.startswith("text_branch.")}
+        emb = pt["embeddings.word_embeddings.weight"]
+        layers = [int(k.split(".")[2]) for k in pt if k.startswith("encoder.layer.")]
+        cfg = RobertaConfig(
+            vocab_size=emb.shape[0],
+            hidden_size=emb.shape[1],
+            num_hidden_layers=max(layers) + 1,
+            num_attention_heads=emb.shape[1] // 64,
+            intermediate_size=pt[
+                "encoder.layer.0.intermediate.dense.weight"].shape[0],
+            max_position_embeddings=pt[
+                "embeddings.position_embeddings.weight"].shape[0],
+            type_vocab_size=pt[
+                "embeddings.token_type_embeddings.weight"].shape[0],
+        )
+        model = FlaxRobertaModel(cfg, dtype=jnp.float32)
+        model.params = convert_pytorch_state_dict_to_flax(pt, model)
+        return model
+
     def _load_tower(self):
         if self._tower is not None:
             return self._tower
         import jax
 
-        from transformers import FlaxRobertaModel, RobertaConfig
+        model = None
+        proj_w1 = proj_b1 = proj_w2 = proj_b2 = None
+        if self.clap_ckpt_path:
+            sd = _load_clap_state_dict(self.clap_ckpt_path)
+            model = self._build_roberta(sd)
+            # laion-clap model.py names it text_projection; some ckpts carry
+            # the older text_branch_projection spelling
+            for stem in ("text_projection", "text_branch_projection"):
+                if f"{stem}.0.weight" in sd:
+                    proj_w1 = sd[f"{stem}.0.weight"].T
+                    proj_b1 = sd.get(f"{stem}.0.bias")
+                    proj_w2 = sd[f"{stem}.2.weight"].T
+                    proj_b2 = sd.get(f"{stem}.2.bias")
+                    break
+        elif self.allow_random_init:
+            from transformers import RobertaConfig, FlaxRobertaModel
+
+            logger.warning(
+                "CLAP text tower for '%s' has no clap_ckpt_path; RANDOM INIT "
+                "(allow_random_init=True)", self.id)
+            cfg = RobertaConfig(num_hidden_layers=2, hidden_size=768,
+                                intermediate_size=1536, num_attention_heads=12)
+            model = FlaxRobertaModel(cfg, dtype=jnp.float32)
+        else:
+            raise RuntimeError(
+                f"CLAPTextConditioner '{self.id}' has no clap_ckpt_path and "
+                "allow_random_init is False. Provide a local CLAP checkpoint "
+                "or set allow_random_init=True to accept random weights."
+            )
+        hid = model.config.hidden_size
+        rng = np.random.RandomState(0)
+        if proj_w1 is None:
+            proj_w1 = (rng.randn(hid, 512) / np.sqrt(hid)).astype(np.float32)
+            proj_w2 = (rng.randn(512, 512) / np.sqrt(512)).astype(np.float32)
+        if proj_b1 is None:
+            proj_b1 = np.zeros(proj_w1.shape[1], np.float32)
+        if proj_b2 is None:
+            proj_b2 = np.zeros(proj_w2.shape[1], np.float32)
 
         try:
             from transformers import AutoTokenizer
@@ -477,83 +571,129 @@ class CLAPTextConditioner(HostConditioner):
             tokenizer = AutoTokenizer.from_pretrained("roberta-base")
         except Exception:
             tokenizer = _FallbackTokenizer(77)
-        try:
-            model = FlaxRobertaModel.from_pretrained("roberta-base",
-                                                     dtype=jnp.bfloat16,
-                                                     from_pt=True)
-        except Exception as e:
-            logger.warning("CLAP RoBERTa weights unavailable (%s); random init", e)
-            cfg = RobertaConfig(num_hidden_layers=2, hidden_size=768,
-                                intermediate_size=1536, num_attention_heads=12)
-            model = FlaxRobertaModel(cfg, dtype=jnp.bfloat16)
-        # text_projection: Linear(768→512) → ReLU → Linear(512→512)
-        rng = np.random.RandomState(0)
-        proj_w1 = (rng.randn(768, 512) / np.sqrt(768)).astype(np.float32)
-        proj_w2 = (rng.randn(512, 512) / np.sqrt(512)).astype(np.float32)
-        if self.clap_ckpt_path:
-            try:
-                from ..io.checkpoints import load_ckpt_state_dict
 
-                sd = load_ckpt_state_dict(self.clap_ckpt_path)
-                sd = {k[7:] if k.startswith("module.") else k: v
-                      for k, v in sd.items()}
-                proj_w1 = sd["text_branch_projection.0.weight"].T
-                proj_w2 = sd["text_branch_projection.2.weight"].T
-            except Exception as e:
-                logger.warning("CLAP ckpt load failed (%s)", e)
-
+        # go through the HF wrapper (not module.apply): RoBERTa position ids
+        # are cumsum-over-non-pad, which only the wrapper computes
         encode = jax.jit(
-            lambda ids, mask: model.module.apply(
-                {"params": model.params}, input_ids=ids, attention_mask=mask,
-                output_hidden_states=True,
+            lambda ids, mask: model(
+                input_ids=ids, attention_mask=mask, output_hidden_states=True,
             ).hidden_states[self.feature_layer_ix]
         )
-        self._tower = (tokenizer, encode, jnp.asarray(proj_w1), jnp.asarray(proj_w2))
+        pool = jax.jit(
+            lambda ids, mask: model(
+                input_ids=ids, attention_mask=mask,
+            ).pooler_output
+        )
+        self._tower = (tokenizer, encode, pool,
+                       jnp.asarray(np.asarray(proj_w1, np.float32)),
+                       jnp.asarray(np.asarray(proj_b1, np.float32)),
+                       jnp.asarray(np.asarray(proj_w2, np.float32)),
+                       jnp.asarray(np.asarray(proj_b2, np.float32)))
         return self._tower
 
     def prepare(self, values):
         if self._embed_fn is not None:
             feats = np.asarray(self._embed_fn(list(values)), np.float32)
             return {"features": feats}
-        tokenizer, encode, w1, w2 = self._load_tower()
+        tokenizer, encode, pool, w1, b1, w2, b2 = self._load_tower()
         enc = tokenizer(list(values), truncation=True, max_length=77,
                         padding="max_length", return_tensors="np")
         ids = jnp.asarray(enc["input_ids"], jnp.int32)
         mask = jnp.asarray(enc["attention_mask"], jnp.int32)
-        hidden = encode(ids, mask).astype(jnp.float32)  # [B, L, 768]
         if self.use_text_features:
-            return {
-                "features": np.asarray(hidden),
-            }
-        # laion-clap pooling: mean over valid tokens, then MLP to joint space
-        m = np.asarray(mask)[..., None].astype(np.float32)
-        pooled = (np.asarray(hidden) * m).sum(1) / np.clip(m.sum(1), 1, None)
-        x = np.maximum(pooled @ np.asarray(w1), 0.0)
-        feats = x @ np.asarray(w2)
-        return {"features": feats.astype(np.float32)}
+            hidden = encode(ids, mask).astype(jnp.float32)  # [B, L, 768]
+            return {"features": np.asarray(hidden)}
+        # laion-clap roberta path (model.py encode_text): pooler_output →
+        # text_projection [Linear, ReLU, Linear]
+        pooled = pool(ids, mask).astype(jnp.float32)
+        x = jnp.maximum(pooled @ w1 + b1, 0.0)
+        feats = x @ w2 + b2
+        return {"features": np.asarray(feats, np.float32)}
 
     def make_module(self):
         return CLAPProjModule(self.dim, self.output_dim, self.project_out)
 
 
 class CLAPAudioConditioner(CLAPTextConditioner):
-    def __init__(self, cid, output_dim, **kwargs):
-        super().__init__(cid, output_dim, **kwargs)
+    """CLAP audio branch (reference :222-286): HTSAT tower → 512-d joint
+    embedding via audio_projection. The HTSAT trunk is the in-repo flax port
+    (models/htsat.py) loaded from the CLAP checkpoint's audio_branch.* keys."""
+
+    HTSAT_DIMS = {"HTSAT-tiny": 96, "HTSAT-base": 128, "HTSAT-large": 256}
+
+    def __init__(self, cid, output_dim, clap_ckpt_path=None,
+                 audio_model_type="HTSAT-base", enable_fusion=True,
+                 project_out=False, allow_random_init=False, **kwargs):
+        super().__init__(cid, output_dim, clap_ckpt_path=clap_ckpt_path,
+                         project_out=project_out,
+                         allow_random_init=allow_random_init, **kwargs)
         self.dim = 512
+        self.audio_model_type = audio_model_type
+        self.enable_fusion = enable_fusion
+        self._audio_tower = None
+
+    def _load_audio_tower(self):
+        if self._audio_tower is not None:
+            return self._audio_tower
+        import jax
+
+        from .htsat import HTSAT, clap_logmel, import_htsat
+
+        embed_dim = self.HTSAT_DIMS[self.audio_model_type]
+        tower = HTSAT(embed_dim=embed_dim, enable_fusion=self.enable_fusion)
+        num_features = embed_dim * 2 ** (len(tower.depths) - 1)
+        if self.clap_ckpt_path:
+            sd = _load_clap_state_dict(self.clap_ckpt_path)
+            variables = jax.tree_util.tree_map(
+                jnp.asarray,
+                import_htsat(sd, "audio_branch.", depths=tower.depths,
+                             enable_fusion=self.enable_fusion),
+            )
+            w1 = jnp.asarray(sd["audio_projection.0.weight"].T)
+            b1 = jnp.asarray(sd["audio_projection.0.bias"])
+            w2 = jnp.asarray(sd["audio_projection.2.weight"].T)
+            b2 = jnp.asarray(sd["audio_projection.2.bias"])
+        elif self.allow_random_init:
+            logger.warning(
+                "CLAP audio tower for '%s' has no clap_ckpt_path; RANDOM INIT "
+                "(allow_random_init=True)", self.id)
+            mel = jnp.zeros((1, 1, 101, tower.mel_bins))
+            variables = jax.jit(tower.init)(jax.random.PRNGKey(0), mel)
+            rng = np.random.RandomState(0)
+            w1 = jnp.asarray((rng.randn(num_features, 512)
+                              / np.sqrt(num_features)).astype(np.float32))
+            b1 = jnp.zeros(512)
+            w2 = jnp.asarray((rng.randn(512, 512) / np.sqrt(512)).astype(np.float32))
+            b2 = jnp.zeros(512)
+        else:
+            raise RuntimeError(
+                f"CLAPAudioConditioner '{self.id}' has no clap_ckpt_path and "
+                "allow_random_init is False. Provide a local CLAP checkpoint "
+                "or set allow_random_init=True to accept random weights."
+            )
+
+        def embed(audio):
+            mel = clap_logmel(audio)
+            emb = tower.apply(variables, mel)
+            x = jnp.maximum(emb @ w1 + b1, 0.0)
+            return x @ w2 + b2
+
+        self._audio_tower = jax.jit(embed)
+        return self._audio_tower
 
     def prepare(self, values):
         if self._embed_fn is not None:
-            feats = np.asarray(self._embed_fn(values), np.float32)
-        else:
-            # no CLAP tower available: deterministic audio-statistics features
-            feats = np.zeros((len(values), self.dim), np.float32)
-            for i, v in enumerate(values):
-                a = np.asarray(v, np.float32).ravel()
-                if a.size:
-                    chunks = np.array_split(a, min(self.dim, a.size))
-                    stats = np.asarray([c.std() for c in chunks], np.float32)
-                    feats[i, : stats.size] = stats
-        return {"features": feats}
+            return {"features": np.asarray(self._embed_fn(values), np.float32)}
+        from .htsat import prepare_clap_audio
+
+        embed = self._load_audio_tower()
+        batch = np.stack([
+            prepare_clap_audio(np.asarray(v, np.float32).mean(axis=0)
+                               if np.asarray(v).ndim > 1 else v)
+            for v in values
+        ])
+        feats = embed(jnp.asarray(batch))
+        return {"features": np.asarray(feats, np.float32)}
 
 
 class SourceMixConditionerModule(nn.Module):

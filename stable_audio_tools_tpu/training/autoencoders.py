@@ -254,6 +254,20 @@ class AutoencoderTrainer:
                 name="mrmel_loss", weight=loss_config["mrmel"]["weights"]["mrmel"],
             ))
 
+        if "hubert" in loss_config and \
+                loss_config["hubert"]["weights"]["hubert"] > 0:
+            from .losses.losses import LossWithTarget
+            from .losses.semantic import HubertLoss
+
+            hcfg = loss_config["hubert"].get("config", {})
+            gen_losses.append(LossWithTarget(
+                HubertLoss(weight=1.0, **hcfg),
+                input_key="decoded", target_key="reals",
+                name="hubert_loss",
+                weight=loss_config["hubert"]["weights"]["hubert"],
+                decay=loss_config["hubert"].get("decay", 1.0),
+            ))
+
         tw = loss_config.get("time", {}).get("weights", {})
         tdecay = loss_config.get("time", {}).get("decay", 1.0)
         if tw.get("l1", 0.0) > 0.0:

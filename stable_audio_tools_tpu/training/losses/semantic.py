@@ -63,30 +63,67 @@ class MelSpectrogramLoss:
 
 
 class HubertLoss:
-    """Feature-space L1 using a pluggable speech tower.
+    """Feature-space L1 using a frozen speech tower (reference semantic.py:
+    15-72: torchaudio HuBERT/wav2vec2 features, per-layer L1 normalized by
+    the target layer's std, averaged over selected feature_ids).
 
-    The reference uses torchaudio HuBERT/WavLM features (semantic.py:15-72).
-    Provide feature_fn(audio [B, T]) -> [B, frames, D] (e.g. a Flax port or
-    precomputed embeddings); without one the loss is 0 and warns once.
+    The tower is the in-repo flax wav2vec2/HuBERT port loaded from a local
+    torchaudio-format checkpoint (`ckpt_path`). Alternatively provide
+    feature_fn(audio [B, T]) -> [B, frames, D] or list of those (e.g.
+    precomputed embeddings). With neither, construction is a hard error
+    unless allow_missing=True (then the loss is 0 with a warning) — no
+    silent degradation.
     """
 
-    def __init__(self, weight: float = 1.0, model_name: str = "HUBERT_BASE",
-                 feature_fn: tp.Optional[tp.Callable] = None, **_):
+    def __init__(self, weight: float = 1.0, model_name: str = "HUBERT_LARGE",
+                 feature_ids: tp.Optional[tp.Sequence[int]] = None,
+                 ckpt_path: tp.Optional[str] = None,
+                 feature_fn: tp.Optional[tp.Callable] = None,
+                 allow_missing: bool = False, **_):
         self.weight = weight
+        self.feature_ids = list(feature_ids) if feature_ids is not None else None
         self.feature_fn = feature_fn
+        self.model_name = model_name
         self._warned = False
+        self._tower = None
+        if ckpt_path is not None:
+            from ...models.wav2vec import load_wav2vec2_tower
+
+            model, variables = load_wav2vec2_tower(ckpt_path, model_name)
+            self._tower = (model, variables)
+        elif feature_fn is None and not allow_missing:
+            raise RuntimeError(
+                "HubertLoss needs a local tower checkpoint (ckpt_path) or a "
+                "feature_fn; set allow_missing=True to accept a 0 loss."
+            )
+
+    def _features(self, wave):
+        """wave: [B, T] → list of per-layer features."""
+        if self._tower is not None:
+            model, variables = self._tower
+            conv_only = self.feature_ids == [-1]
+            if conv_only:
+                return [model.apply(variables, wave,
+                                    method=model.conv_features)]
+            return model.apply(variables, wave)
+        out = self.feature_fn(wave)
+        return out if isinstance(out, (list, tuple)) else [out]
 
     def __call__(self, input, target):
-        if self.feature_fn is None:
+        if self._tower is None and self.feature_fn is None:
             if not self._warned:
-                logger.warning(
-                    "HubertLoss: no feature_fn available (torchaudio HuBERT "
-                    "not in image); returning 0."
-                )
+                logger.warning("HubertLoss: no tower/feature_fn; returning 0.")
                 self._warned = True
             return jnp.zeros(())
-        x = input.mean(axis=1) if input.ndim == 3 else input
-        y = target.mean(axis=1) if target.ndim == 3 else target
-        fx = self.feature_fn(x)
-        fy = jax.lax.stop_gradient(self.feature_fn(y))
-        return self.weight * jnp.mean(jnp.abs(fx - fy))
+        # reference folds channels into batch (semantic.py:11-13)
+        x = input.reshape(-1, input.shape[-1]) if input.ndim == 3 else input
+        y = target.reshape(-1, target.shape[-1]) if target.ndim == 3 else target
+        fxs = self._features(x)
+        fys = [jax.lax.stop_gradient(f) for f in self._features(y)]
+        conv_only = self.feature_ids == [-1]
+        loss, denom = 0.0, 0
+        for i, (fx, fy) in enumerate(zip(fxs, fys)):
+            if self.feature_ids is None or i in self.feature_ids or conv_only:
+                loss = loss + jnp.mean(jnp.abs(fx - fy)) / (jnp.std(fy) + 1e-5)
+                denom += 1
+        return self.weight * loss / max(denom, 1)

@@ -51,11 +51,31 @@ def test_list_conditioner():
     assert c.prepare(["piano"])["ints"][0] == 1
 
 
+def test_t5_conditioner_requires_optin_for_random_init():
+    """Without local weights, a T5 tower is a hard error unless the user
+    opts into random init (VERDICT r1: no silent degradation)."""
+    c = T5Conditioner("prompt", output_dim=32, t5_model_name="t5-base",
+                      max_length=16)
+    with pytest.raises(RuntimeError, match="allow_random_init"):
+        c.prepare(["a dog barking"])
+
+
+def test_clap_conditioners_require_optin_for_random_init():
+    c = CLAPTextConditioner("prompt", output_dim=16)
+    with pytest.raises(RuntimeError, match="allow_random_init"):
+        c.prepare(["hello"])
+    from stable_audio_tools_tpu.models.conditioners import CLAPAudioConditioner
+
+    a = CLAPAudioConditioner("aud", output_dim=16)
+    with pytest.raises(RuntimeError, match="allow_random_init"):
+        a.prepare([np.zeros(100, np.float32)])
+
+
 def test_t5_conditioner_offline_fallback():
     """Zero-egress: T5 falls back to random init + hash tokenizer but keeps
     the full interface contract (embeddings + mask, learnable proj)."""
     c = T5Conditioner("prompt", output_dim=32, t5_model_name="t5-base",
-                      max_length=16)
+                      max_length=16, allow_random_init=True)
     prepared = c.prepare(["a dog barking", "rain"])
     assert prepared["embeddings"].shape == (2, 16, 768)
     assert prepared["attention_mask"].shape == (2, 16)
@@ -71,7 +91,7 @@ def test_t5_conditioner_offline_fallback():
 
 
 def test_clap_text_conditioner_fallback():
-    c = CLAPTextConditioner("prompt", output_dim=16)
+    c = CLAPTextConditioner("prompt", output_dim=16, allow_random_init=True)
     cond, mask = _apply(c, ["hello", "world"])
     assert cond.shape == (2, 1, 16)
 
