@@ -58,6 +58,59 @@ def fast_scandir(path: str, exts: tp.Sequence[str]) -> tp.Tuple[list, list]:
     return subfolders, files
 
 
+def get_dbmax(audio: np.ndarray) -> float:
+    """Loudest value in the clip in dBFS (reference dataset.py:466-471,
+    aeiou semantics)."""
+    peak = float(np.max(np.abs(audio))) if np.asarray(audio).size else 0.0
+    return 20.0 * np.log10(max(peak, 1e-12))
+
+
+def is_silence(audio: np.ndarray, thresh: float = -60.0) -> bool:
+    """True when the whole clip peaks below `thresh` dBFS (reference
+    dataset.py:473-479)."""
+    return get_dbmax(audio) < thresh
+
+
+def remove_long_silence(audio: np.ndarray, sample_rate: int,
+                        silence_threshold=(0.01, 0.5),
+                        max_silence_duration: float = 0.25) -> np.ndarray:
+    """Collapse runs of silence longer than max_silence_duration down to a
+    short (silence_duration_threshold-long) excerpt (reference
+    dataset.py:490-550). audio: [1, T] or [T] → [1, T']."""
+    energy_thresh, duration_thresh = silence_threshold
+    max_sil = int(max_silence_duration * sample_rate)
+    tiny_sil = int(duration_thresh * sample_rate)
+
+    x = np.asarray(audio, np.float32).ravel()
+    silent = np.abs(x) < energy_thresh
+    diff = np.diff(silent.astype(np.int8))
+    starts = np.where(diff == 1)[0] + 1
+    ends = np.where(diff == -1)[0] + 1
+    if silent.size and silent[0]:
+        starts = np.concatenate(([0], starts))
+    if silent.size and silent[-1]:
+        ends = np.concatenate((ends, [len(x)]))
+
+    pieces = []
+    prev_end = 0
+    for start, end in zip(starts, ends):
+        pieces.append(x[prev_end:start])
+        seg = x[start:end]
+        if len(seg) > max_sil:
+            if len(seg) > tiny_sil:
+                off = random.randint(0, len(seg) - tiny_sil)
+                pieces.append(seg[off: off + tiny_sil])
+            else:
+                pieces.append(seg[:tiny_sil])
+        else:
+            pieces.append(seg)
+        prev_end = end
+    if prev_end < len(x):
+        pieces.append(x[prev_end:])
+    out = np.concatenate(pieces) if pieces else x
+    return out[None, :]
+
+
 def _load_custom_metadata_fn(module_path: tp.Optional[str]):
     if module_path is None:
         return None
@@ -126,6 +179,9 @@ class SampleDataset:
             audio, t_start, t_end, seconds_start, seconds_total, padding_mask = (
                 self.pad_crop(audio)
             )
+            # reject fully-silent crops (reference :207-208)
+            if is_silence(audio):
+                return self[random.randrange(len(self))]
             if self.encoding is not None:
                 audio = self.encoding(audio)
             for aug in self.augs:
@@ -248,9 +304,15 @@ class LocalTarDataset:
         shuffle: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        remove_silence: bool = False,
+        silence_threshold=(0.01, 0.5),
+        max_silence_duration: float = 0.25,
     ):
         self.shards = sorted(shard_paths)[process_index::process_count]
         self.sample_rate = sample_rate
+        self.remove_silence = remove_silence
+        self.silence_threshold = tuple(silence_threshold)
+        self.max_silence_duration = max_silence_duration
         self.pad_crop = PadCrop_Normalized_T(sample_size, sample_rate,
                                              randomize=random_crop)
         self.encoding = (
@@ -324,6 +386,17 @@ class LocalTarDataset:
             audio, info = self._decode_sample(members)
             if audio is None:
                 return None
+            pre_encoded = ".npy" in members
+            if not pre_encoded:
+                # silent / rejected sample filtering (reference :481-489)
+                if is_silence(audio) or info.get("__reject__", False):
+                    return None
+                # mono long-silence collapse (reference :752-756)
+                if audio.shape[0] == 1 and self.remove_silence:
+                    audio = remove_long_silence(
+                        audio, self.sample_rate, self.silence_threshold,
+                        self.max_silence_duration,
+                    )
             audio, t_start, t_end, seconds_start, seconds_total, padding_mask = (
                 self.pad_crop(audio)
             )
@@ -504,6 +577,11 @@ def create_dataloader_from_config(
             volume_norm=dataset_config.get("volume_norm", False),
             process_index=pi,
             process_count=pc,
+            remove_silence=dataset_config.get("remove_silence", False),
+            silence_threshold=dataset_config.get("silence_threshold",
+                                                 (0.01, 0.5)),
+            max_silence_duration=dataset_config.get("max_silence_duration",
+                                                    0.25),
         )
         return DataLoader(dataset, batch_size, shuffle=shuffle,
                           num_workers=num_workers)

@@ -162,3 +162,80 @@ def test_create_dataloader_from_config(tmp_path):
     )
     audio, metadata = next(iter(dl))
     assert audio.shape == (2, 2, 4000)
+
+
+def test_is_silence_and_dbmax():
+    from stable_audio_tools_tpu.data.dataset import get_dbmax, is_silence
+
+    loud = np.ones((1, 100), np.float32) * 0.5
+    quiet = np.ones((1, 100), np.float32) * 1e-4
+    assert not is_silence(loud)
+    assert is_silence(quiet)  # -80 dBFS < -60
+    assert abs(get_dbmax(loud) - 20 * np.log10(0.5)) < 1e-4
+
+
+def test_remove_long_silence_collapses_runs():
+    from stable_audio_tools_tpu.data.dataset import remove_long_silence
+
+    sr = 1000
+    loud = np.ones(500, np.float32) * 0.5
+    long_sil = np.zeros(2000, np.float32)  # 2 s >> 0.25 s max
+    short_sil = np.zeros(100, np.float32)  # 0.1 s, kept as-is
+    audio = np.concatenate([loud, long_sil, loud, short_sil, loud])[None]
+    out = remove_long_silence(audio, sr, (0.01, 0.5), 0.25)
+    assert out.shape[0] == 1
+    # long run collapsed to 0.5 s (500 samples), short run kept
+    assert out.shape[1] == 500 + 500 + 500 + 100 + 500
+    np.testing.assert_array_equal(out[0, :500], loud)
+
+
+def test_sample_dataset_rejects_silent_clips(tmp_path):
+    from stable_audio_tools_tpu.data.dataset import SampleDataset
+
+    sr = 16000
+    d = tmp_path / "wavs"
+    d.mkdir()
+    save_wav(str(d / "silent.wav"),
+             np.zeros((1, sr), np.float32) + 1e-5, sr)
+    save_wav(str(d / "loud.wav"),
+             (np.random.RandomState(0).randn(1, sr) * 0.3).astype(np.float32),
+             sr)
+    ds = SampleDataset([{"path": str(d)}], sample_size=8000, sample_rate=sr,
+                       force_channels="mono", augment_phase=False)
+    # the silent file must always re-roll onto the loud one
+    for idx in range(len(ds)):
+        audio, info = ds[idx]
+        assert "loud" in info["path"]
+
+
+def test_tar_dataset_silence_filter_and_removal(tmp_path):
+    import tarfile
+
+    from stable_audio_tools_tpu.data.dataset import LocalTarDataset
+
+    sr = 16000
+    tar_path = tmp_path / "shard.tar"
+    wav_dir = tmp_path / "w"
+    wav_dir.mkdir()
+    # one silent, one loud-with-long-silence (mono)
+    save_wav(str(wav_dir / "a.wav"), np.zeros((1, sr), np.float32), sr)
+    loud = np.concatenate([
+        np.ones(4000, np.float32) * 0.4, np.zeros(sr, np.float32),
+        np.ones(4000, np.float32) * 0.4])[None]
+    save_wav(str(wav_dir / "b.wav"), loud, sr)
+    with tarfile.open(tar_path, "w") as tf:
+        for stem in ("a", "b"):
+            tf.add(str(wav_dir / f"{stem}.wav"), arcname=f"{stem}.wav")
+            jp = wav_dir / f"{stem}.json"
+            jp.write_text('{"text": "x"}')
+            tf.add(str(jp), arcname=f"{stem}.json")
+
+    ds = LocalTarDataset([str(tar_path)], sample_size=8000, sample_rate=sr,
+                         force_channels="mono", augment_phase=False,
+                         shuffle=False, remove_silence=True,
+                         silence_threshold=(0.01, 0.1),
+                         max_silence_duration=0.25)
+    samples = list(ds)
+    assert len(samples) == 1  # silent sample filtered out
+    audio, info = samples[0]
+    assert audio.shape == (1, 8000)
