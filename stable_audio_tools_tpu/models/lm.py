@@ -85,6 +85,20 @@ class AudioLanguageModel(nn.Module):
             return logits, new_caches
         return logits
 
+    def forward_embed(self, x, caches=None, cache_index=None, cross_kvs=None):
+        """Backbone-only cached step on a precomputed input embedding.
+
+        The fast decode path sums the K codebook embeddings and applies the
+        merged quantizer heads outside the module (from raw weights), so the
+        per-step program is just the backbone."""
+        return self.backbone(x, caches=caches, cache_index=cache_index,
+                             cross_kvs=cross_kvs)
+
+    def compute_cross_kvs(self, cross):
+        """One-time per-layer split-head K/V projection of the conditioning."""
+        dummy = jnp.zeros((cross.shape[0], 1, self.backbone.embed_dim), cross.dtype)
+        return self.backbone(dummy, cross_attn_cond=cross, compute_cross_kv=True)
+
 
 class AudioLanguageModelWrapper(nn.Module):
     lm: AudioLanguageModel
@@ -172,6 +186,13 @@ class AudioLanguageModelWrapper(nn.Module):
         """Direct LM forward (used by the cached decode path)."""
         return self.lm(sequence, cross_attn_cond=cross_attn_cond,
                        caches=caches, cache_index=cache_index, **kwargs)
+
+    def lm_forward_embed(self, x, caches=None, cache_index=None, cross_kvs=None):
+        return self.lm.forward_embed(x, caches=caches, cache_index=cache_index,
+                                     cross_kvs=cross_kvs)
+
+    def precompute_cross_kvs(self, cross):
+        return self.lm.compute_cross_kvs(cross)
 
     def pretransform_tokenize(self, audio):
         return self.pretransform.tokenize(audio)
@@ -270,19 +291,42 @@ def lm_generate_cached(
            cross is not None)
 
     def run(variables, cross, gen_seq, caches, rng):
+        # One-time work hoisted out of the AR scan: (a) per-layer cross-attn
+        # K/V projections of the constant conditioning (re-projecting a
+        # T5-length context per token costs ~10x the token compute itself),
+        # (b) the K codebook embedding tables stacked into one gather, (c)
+        # the K quantizer heads merged into a single matmul.
+        p_lm = variables["params"]["lm"]
+        emb_tables = jnp.stack(
+            [p_lm[f"embeds_{i}"]["embedding"] for i in range(K)]
+        )  # [K, card+1, D]
+        head_w = jnp.concatenate(
+            [p_lm[f"quantizer_heads_{i}"]["kernel"] for i in range(K)], axis=1
+        )  # [D, K*card]
+        head_b = jnp.concatenate(
+            [p_lm[f"quantizer_heads_{i}"]["bias"] for i in range(K)]
+        )  # [K*card]
+        cross_kvs = (
+            model.apply(variables, cross, method=model.precompute_cross_kvs)
+            if cross is not None else None
+        )
+
         def decode_token(seq_tok, caches, pos):
             """seq_tok: [B, K, 1] token at position pos → logits [B, K, card]."""
-            tok = jnp.concatenate([seq_tok, seq_tok], axis=0) if use_cfg else seq_tok
-            out = model.apply(
-                variables, tok, cross_attn_cond=cross, cond_tensors=None,
-                caches=caches, cache_index=pos, method=model.lm_forward,
+            tok = seq_tok[..., 0]  # [B, K]
+            x = emb_tables[jnp.arange(K)[None, :], tok]  # [B, K, D]
+            x = jnp.sum(x, axis=1, keepdims=True)  # [B, 1, D]
+            if use_cfg:
+                x = jnp.concatenate([x, x], axis=0)
+            out, new_caches = model.apply(
+                variables, x, caches=caches, cache_index=pos,
+                cross_kvs=cross_kvs, method=model.lm_forward_embed,
             )
-            logits, new_caches = out
-            logits = logits[:, :, 0, :]
+            logits = (out[:, 0] @ head_w + head_b).reshape(-1, K, card)
             if use_cfg:
                 cond_l, uncond_l = jnp.split(logits, 2, axis=0)
                 logits = uncond_l + (cond_l - uncond_l) * cfg_scale
-            return logits, new_caches
+            return logits.astype(jnp.float32), new_caches
 
         def body(carry, offset):
             seq, caches, rng = carry
@@ -470,6 +514,8 @@ def create_audio_lm_from_config(config: tp.Dict[str, tp.Any]):
             cross_attn_cond_dim=backbone_cfg.get("cross_attn_cond_dim", 0),
             prepend_cond_dim=backbone_cfg.get("prepend_cond_dim", 0),
             use_checkpointing=backbone_cfg.get("use_checkpointing", True),
+            ff_mult=backbone_cfg.get("ff_mult", 4),
+            compute_dtype=backbone_cfg.get("compute_dtype", None),
         )
     else:
         raise NotImplementedError(f"Unknown backbone type {backbone_type}")

@@ -38,6 +38,8 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
         mask=None,
         caches=None,
         cache_index=None,
+        cross_kvs=None,
+        compute_cross_kv=False,
     ):
         in_dtype = x.dtype
         if self.compute_dtype is not None:
@@ -72,9 +74,14 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
             ff_mult=self.ff_mult,
             name="transformer",
         )
+        if compute_cross_kv:
+            # one-time per-layer K/V projection of the conditioning (the AR
+            # decode scan reuses these every step instead of re-projecting)
+            return transformer(x, context=cross_attn_cond, compute_cross_kv=True)
         if caches is not None:
             out, new_caches = transformer(
                 x, context=cross_attn_cond, caches=caches, cache_index=cache_index,
+                cross_kvs=cross_kvs,
             )
             return out.astype(in_dtype), new_caches
         out = transformer(

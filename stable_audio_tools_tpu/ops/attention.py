@@ -166,6 +166,8 @@ class Attention(nn.Module):
         mask: Optional[jax.Array] = None,
         cache: Optional[dict] = None,
         cache_index: Optional[jax.Array] = None,
+        kv_only: bool = False,
+        precomputed_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     ):
         dim = self.dim
         dim_kv = self.dim_context if self.dim_context is not None else dim
@@ -179,6 +181,57 @@ class Attention(nn.Module):
 
         n_q = 2 if self.differential else 1
         n_kv = 3 if self.differential else 2
+
+        if kv_only:
+            # Precompute split-head K/V from a constant context so AR decode
+            # doesn't re-project the conditioning every step (the projection
+            # dominates decode FLOPs for long contexts). qk-norm is applied
+            # here so the main path can use the tensors verbatim.
+            assert self.dim_context is not None and not self.differential
+            kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)
+            k, v = jnp.split(kv_proj, n_kv, axis=-1)
+            b, n, _ = k.shape
+            k = k.reshape(b, n, kv_h, self.dim_heads).transpose(0, 2, 1, 3)
+            v = v.reshape(b, n, kv_h, self.dim_heads).transpose(0, 2, 1, 3)
+            if self.qk_norm == "l2":
+                k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
+            elif self.qk_norm == "ln":
+                k_norm = nn.LayerNorm(epsilon=1e-6, name="k_norm", param_dtype=jnp.float32)
+                k = k_norm(k.astype(jnp.float32)).astype(k.dtype)
+            elif self.qk_norm == "dyt":
+                k = DynamicTanh(self.dim_heads, name="k_norm")(k)
+            return k, v
+
+        if precomputed_kv is not None:
+            assert self.dim_context is not None and not self.differential
+            q_proj = dense(dim * n_q, "to_q")(x)
+            q = q_proj
+            q_diff = k_diff = None
+            b, n, _ = q.shape
+            q = q.reshape(b, n, h, self.dim_heads).transpose(0, 2, 1, 3)
+            if self.qk_norm == "l2":
+                q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            elif self.qk_norm == "ln":
+                q_norm = nn.LayerNorm(epsilon=1e-6, name="q_norm", param_dtype=jnp.float32)
+                q = q_norm(q.astype(jnp.float32)).astype(q.dtype)
+            elif self.qk_norm == "dyt":
+                q = DynamicTanh(self.dim_heads, name="q_norm")(q)
+            k, v = precomputed_kv
+            if h != k.shape[1]:
+                rep = h // k.shape[1]
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
+            out = attention_core(q, k.astype(q.dtype), v.astype(q.dtype),
+                                 causal=False, mask=mask)
+            b, _, n, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
+            return nn.Dense(
+                dim, use_bias=False, name="to_out", dtype=x.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros
+                if self.zero_init_output else nn.initializers.lecun_normal(),
+            )(out)
+
         if self.dim_context is not None:
             q_proj = dense(dim * n_q, "to_q")(x)
             kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)

@@ -96,7 +96,7 @@ def _pos_mask(q_start, k_start, block_q, block_k, seq_len, causal,
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
-                  seq_len, causal, w_left, w_right, scale):
+                  seq_len, causal, w_left, w_right, scale, no_mask=False):
     qi = pl.program_id(1)
     q = q_ref[0]  # [block_q, D] — keep input dtype (bf16 operands on the MXU)
     D = q.shape[-1]
@@ -108,9 +108,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         # bf16 operands, f32 accumulation on the MXU
         logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
-                         causal, w_left, w_right)
-        logits = jnp.where(mask, logits, NEG_INF)
+        if not no_mask:
+            mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
+                             causal, w_left, w_right)
+            logits = jnp.where(mask, logits, NEG_INF)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -214,6 +215,63 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                      dq_ref, dk_ref, dv_ref, *, block_q, block_k, seq_len,
+                      n_q_blocks, causal, w_left, w_right, scale,
+                      no_mask=False):
+    """Single-pass FA2 backward: grid over k-blocks; dK/dV are block-local
+    accumulators and dQ accumulates into a revisited fp32 output block that
+    stays VMEM-resident across the k-grid (TPU grids run sequentially per
+    core, so the read-modify-write is race-free). 5 N²D matmuls vs 7 for the
+    two-pass split, and Q/dO/lse stream from HBM once instead of twice."""
+    ki = pl.program_id(1)
+    k_blk = k_ref[0]  # [bk, D]
+    v_blk = v_ref[0]
+    k_start = ki * block_k
+    D = k_blk.shape[-1]
+
+    @pl.when(ki == 0)
+    def _zero_dq():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]
+        dsum = dsum_ref[0, pl.ds(qb * block_q, block_q), :]
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(logits - lse)
+        if not no_mask:
+            mask = _pos_mask(qb * block_q, k_start, block_q, block_k, seq_len,
+                             causal, w_left, w_right)
+            p = jnp.where(mask, p, 0.0)  # [bq, bk]
+        dv = dv + jnp.dot(p.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum) * scale
+        dk = dk + jnp.dot(ds.astype(q.dtype).T, q,
+                          preferred_element_type=jnp.float32)
+        sl = pl.ds(qb * block_q, block_q)
+        dq_ref[0, sl, :] += jnp.dot(ds.astype(k_blk.dtype), k_blk,
+                                    preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, D), jnp.float32)
+    dv0 = jnp.zeros((block_k, D), jnp.float32)
+    banded, lo, n_vis, hi = _k_visible_range(
+        ki, block_q, block_k, n_q_blocks, seq_len, causal, w_left, w_right
+    )
+    if banded:
+        dk, dv = jax.lax.fori_loop(
+            0, n_vis, lambda i, c: body(lo + i, c), (dk0, dv0)
+        )
+    else:
+        dk, dv = jax.lax.fori_loop(lo, hi, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _pick_blocks(N, causal, w_left, w_right, block_q=256, block_k=256):
     if w_left >= 0 and (causal or w_right >= 0):
         # narrow band: smaller blocks keep the visible-block count tight
@@ -233,7 +291,7 @@ def _pad_seq(x, N_pad):
     return jnp.pad(x, ((0, 0), (0, 0), (0, N_pad - N), (0, 0)))
 
 
-def _flash_forward(q, k, v, causal, window, block_q=256, block_k=256):
+def _flash_forward(q, k, v, causal, window, block_q=512, block_k=512):
     B, H, N, D = q.shape
     scale = 1.0 / math.sqrt(D)
     w_left, w_right = (-1, -1) if window is None else window
@@ -243,9 +301,11 @@ def _flash_forward(q, k, v, causal, window, block_q=256, block_k=256):
     kf = _pad_seq(k, N_pad).reshape(B * H, N_pad, D)
     vf = _pad_seq(v, N_pad).reshape(B * H, N_pad, D)
 
+    no_mask = (not causal) and w_left < 0 and w_right < 0 and N_pad == N
     kernel = functools.partial(
         _flash_kernel, block_q=block_q, block_k=block_k, seq_len=N,
         causal=causal, w_left=w_left, w_right=w_right, scale=scale,
+        no_mask=no_mask,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -275,7 +335,7 @@ def _flash_forward(q, k, v, causal, window, block_q=256, block_k=256):
 
 
 def _flash_backward(q, k, v, o, lse, g, causal, window,
-                    block_q=256, block_k=256):
+                    block_q=512, block_k=512, fused=True):
     B, H, N, D = q.shape
     scale = 1.0 / math.sqrt(D)
     w_left, w_right = (-1, -1) if window is None else window
@@ -292,10 +352,45 @@ def _flash_backward(q, k, v, o, lse, g, causal, window,
     ).reshape(B * H, N_pad, 1)
 
     interp = jax.default_backend() != "tpu"
+    no_mask = (not causal) and w_left < 0 and w_right < 0 and N_pad == N
     common = dict(block_q=block_q, block_k=block_k, seq_len=N, causal=causal,
                   w_left=w_left, w_right=w_right, scale=scale)
 
     full = lambda b, i: (b, 0, 0)
+    unflat = lambda x: x.reshape(B, H, N_pad, D)[:, :, :N, :]
+
+    if fused:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, n_q_blocks=N_pad // block_q,
+                              no_mask=no_mask, **common),
+            grid=(B * H, N_pad // block_k),
+            in_specs=[
+                pl.BlockSpec((1, N_pad, D), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_pad, D), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_pad, 1), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_pad, 1), full, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                # dq is revisited across the k-grid: fp32 accumulator block
+                pl.BlockSpec((1, N_pad, D), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, N_pad, D), jnp.float32),
+                jax.ShapeDtypeStruct((B * H, N_pad, D), k.dtype),
+                jax.ShapeDtypeStruct((B * H, N_pad, D), v.dtype),
+            ],
+            interpret=interp,
+        )(qf, kf, vf, dof, lse, dsum)
+        return unflat(dq).astype(q.dtype), unflat(dk), unflat(dv)
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(B * H, N_pad // block_q),

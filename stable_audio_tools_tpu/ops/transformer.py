@@ -134,10 +134,24 @@ class TransformerBlock(nn.Module):
         context_mask: Optional[jax.Array] = None,
         cache: Optional[dict] = None,
         cache_index: Optional[jax.Array] = None,
+        cross_kv: Optional[tuple] = None,
+        cross_kv_only: bool = False,
     ):
         sliding_window = self.sliding_window
         dim_heads = min(self.dim_heads, self.dim)
         zero_init = self.zero_init_branch_outputs and not self.layer_scale
+
+        if cross_kv_only:
+            # project the (constant) cross-attention context to split-head K/V
+            # once, for reuse across every AR decode step
+            if not self.cross_attend:
+                return None
+            cross_attn = Attention(
+                dim=self.dim, dim_heads=dim_heads, dim_context=self.dim_context,
+                causal=self.causal, zero_init_output=zero_init,
+                qk_norm=self.qk_norm, name="cross_attn",
+            )
+            return cross_attn(x, context=context, kv_only=True)
 
         def make_norm(name):
             if self.remove_norms:
@@ -178,7 +192,7 @@ class TransformerBlock(nn.Module):
                 cache=cache, cache_index=cache_index,
             )
             x = x + self_attn_scale(attn_out)
-            if context is not None and self.cross_attend:
+            if (context is not None or cross_kv is not None) and self.cross_attend:
                 cross_norm = make_norm("cross_attend_norm")
                 cross_attn = Attention(
                     dim=self.dim, dim_heads=dim_heads, dim_context=self.dim_context,
@@ -187,7 +201,8 @@ class TransformerBlock(nn.Module):
                 )
                 cross_scale = make_scale("cross_attn_scale")
                 x = x + cross_scale(
-                    cross_attn(cross_norm(x), context=context, mask=context_mask)
+                    cross_attn(cross_norm(x), context=context, mask=context_mask,
+                               precomputed_kv=cross_kv)
                 )
             x = x + ff_scale(ff(ff_norm(x)))
             return x, new_cache
@@ -292,7 +307,28 @@ class ContinuousTransformer(nn.Module):
         exit_layer_ix: Optional[int] = None,
         caches: Optional[list] = None,
         cache_index: Optional[jax.Array] = None,
+        cross_kvs: Optional[list] = None,
+        compute_cross_kv: bool = False,
     ):
+        if compute_cross_kv:
+            # one-time projection of the conditioning context into per-layer
+            # split-head K/V for the cached AR decode path
+            kvs = []
+            for i in range(self.depth):
+                should = self.cross_attend and (
+                    self.final_cross_attn_ix == -1 or i <= self.final_cross_attn_ix
+                )
+                block = TransformerBlock(
+                    dim=self.dim, dim_heads=self.dim_heads, cross_attend=should,
+                    dim_context=self.cond_token_dim, causal=self.causal,
+                    zero_init_branch_outputs=self.zero_init_branch_outputs,
+                    layer_ix=i, layer_scale=self.layer_scale,
+                    remove_norms=self.remove_norms, qk_norm=self.qk_norm,
+                    ff_mult=self.ff_mult, name=f"layers_{i}",
+                )
+                kvs.append(block(x, context=context, cross_kv_only=True))
+            return kvs
+
         batch = x.shape[0]
         info = {"hidden_states": []}
 
@@ -388,6 +424,8 @@ class ContinuousTransformer(nn.Module):
                     rotary_pos_emb=rope,
                     cache=caches[i],
                     cache_index=cache_index,
+                    cross_kv=cross_kvs[i]
+                    if (cross_kvs is not None and should_cross_attend) else None,
                 )
                 continue
             x = layer(

@@ -70,7 +70,8 @@ def test_sa_open_mini_text_to_audio():
             "conditioning": {
                 "configs": [
                     {"id": "prompt", "type": "t5",
-                     "config": {"t5_model_name": "t5-base", "max_length": 8}},
+                     "config": {"t5_model_name": "t5-base", "max_length": 8,
+                                "allow_random_init": True}},
                     {"id": "seconds_total", "type": "number",
                      "config": {"min_val": 0, "max_val": 64}},
                 ],
