@@ -46,6 +46,24 @@ else:
     LATENT = 64
     STEPS = 100
 
+
+def _full_config():
+    """The SHIPPED stable_audio_open_1_0.json — real T5-base conditioning
+    stack (random-init tower in this offline image: identical compute cost),
+    global conds, full VAE. BASELINE.md config (c) verbatim."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "stable_audio_tools_tpu/configs/model_configs/txt2audio/"
+        "stable_audio_open_1_0.json",
+    )
+    with open(path) as f:
+        cfg = json.load(f)
+    for c in cfg["model"]["conditioning"]["configs"]:
+        if c["type"] == "t5":
+            c["config"]["allow_random_init"] = True
+    return cfg
+
+
 CONFIG = {
     "model_type": "diffusion_cond",
     "sample_size": SAMPLE_SIZE,
@@ -86,6 +104,8 @@ CONFIG = {
         "io_channels": DIT["io_channels"],
     },
 }
+if not SMALL:
+    CONFIG = _full_config()
 
 
 def main():
@@ -98,6 +118,12 @@ def main():
     model = create_model_from_config(CONFIG)
     mc = model._multi_conditioner
     conditioning = [{"seconds_total": SAMPLE_SIZE / 44100.0}]
+    if not SMALL:
+        conditioning = [{
+            "prompt": "An upbeat electronic track with a driving bassline",
+            "seconds_start": 0,
+            "seconds_total": SAMPLE_SIZE / 44100.0,
+        }]
     prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(conditioning))
 
     latent_T = SAMPLE_SIZE // DOWN

@@ -83,6 +83,48 @@ def _place_for_mesh(variables, noise, mesh, tp_rules=None):
     return variables, noise
 
 
+
+def _chunk_decode_kwargs(model, mesh):
+    """Shard the chunked codec's chunk axis over every mesh device (the
+    sampler's TP/DP sharding doesn't help the conv decoder; distributing
+    chunks does — ~n_devices x on long outputs)."""
+    if mesh is None or model.pretransform is None:
+        return {}
+    if not getattr(model.pretransform, "chunked", False):
+        return {}
+    from jax.sharding import PartitionSpec as P
+
+    return {"chunk_pspec": P(tuple(mesh.axis_names))}
+
+
+def get_preview_tap(model):
+    """A stable host-callback that collects (denoised_latent, sigma) pairs
+    streamed out of the fused sampler scan (io_callback). Stable identity per
+    model so the jitted program (which embeds the callable) stays cached;
+    read/clear the buffer via model._preview_buffer."""
+    tap = getattr(model, "_preview_tap", None)
+    if tap is None:
+        buf = []
+
+        def tap(denoised, sigma):
+            buf.append((np.asarray(denoised), float(sigma)))
+
+        object.__setattr__(model, "_preview_buffer", buf)
+        object.__setattr__(model, "_preview_tap", tap)
+    return tap
+
+
+def _call_with_mesh(fn, mesh, *args):
+    """Trace/execute under the mesh context so bare-PartitionSpec sharding
+    constraints (chunked decode) resolve against it."""
+    if mesh is None:
+        return fn(*args)
+    from jax.sharding import set_mesh
+
+    with set_mesh(mesh):
+        return fn(*args)
+
+
 def generate_diffusion_uncond(
     model,
     variables,
@@ -123,10 +165,12 @@ def generate_diffusion_uncond(
         sigma_max = init_noise_level
 
     diff_obj = getattr(model, "diffusion_objective", "v")
+    chunk_kwargs = _chunk_decode_kwargs(model, mesh)
     key = (
         "uncond", steps, sampler_type, float(sigma_min), float(sigma_max),
         float(rho), shape, bool(return_latents), diff_obj,
         init_data is not None, tuple(sorted(sampler_kwargs.items())),
+        bool(chunk_kwargs),
     )
 
     def build(variables, noise, init_data, rng):
@@ -149,11 +193,12 @@ def generate_diffusion_uncond(
             out = model.apply(
                 variables, out, method=model.pretransform_decode,
                 rngs={"sample": jax.random.fold_in(rng, 98)},
+                **chunk_kwargs,
             )
         return out
 
     fn = _jit_cache(model, key, build)
-    return fn(variables, noise, init_data, rng)
+    return _call_with_mesh(fn, mesh, variables, noise, init_data, rng)
 
 
 def generate_diffusion_cond(
@@ -180,9 +225,15 @@ def generate_diffusion_cond(
     scale_phi: float = 0.0,
     mesh=None,
     tp_rules=None,
+    preview: bool = False,
     **sampler_kwargs,
 ):
     """Text/metadata-conditioned latent-diffusion generation.
+
+    preview=True streams per-step denoised latents to model._preview_buffer via
+    an in-scan host callback (clear it before the call; decode entries with
+    pretransform_decode afterwards) — the reference's per-step progress
+    callback surface (interfaces/diffusion_cond.py:163-182).
 
     model: ConditionedDiffusionModelWrapper (flax module from the factory);
     variables: its params. Returns audio [B, C, sample_size] (or latents).
@@ -243,12 +294,18 @@ def generate_diffusion_cond(
     # one jitted program: sampler scan (+CFG inside the model) + VAE decode;
     # cached per static config so repeated generate calls don't retrace.
     neg_struct = tuple(sorted(k for k, v in neg_inputs.items() if v is not None))
+    chunk_kwargs = _chunk_decode_kwargs(model, mesh)
     key = (
         "cond", steps, sampler_type, float(sigma_min), float(sigma_max_eff),
         float(rho), float(cfg_scale), float(scale_phi), tuple(cfg_interval),
         shape, bool(return_latents), diff_obj, neg_struct,
         init_data is not None, tuple(sorted(sampler_kwargs.items())),
+        bool(chunk_kwargs), bool(preview),
     )
+    if preview:
+        sampler_kwargs = dict(sampler_kwargs,
+                              denoised_tap=get_preview_tap(model))
+        getattr(model, "_preview_buffer").clear()
 
     def build(variables, noise, cond_tensors, neg, init_data, rng):
         def model_fn(x, t, **kw):
@@ -285,12 +342,14 @@ def generate_diffusion_cond(
             out = model.apply(
                 variables, out, method=model.pretransform_decode,
                 rngs={"sample": jax.random.fold_in(rng, 98)},
+                **chunk_kwargs,
             )
         return out
 
     fn = _jit_cache(model, key, build)
     neg_clean = {k: v for k, v in neg_inputs.items() if v is not None}
-    return fn(variables, noise, conditioning_tensors, neg_clean, init_data, rng)
+    return _call_with_mesh(fn, mesh, variables, noise, conditioning_tensors,
+                           neg_clean, init_data, rng)
 
 
 def build_mask(sample_size: int, mask_args: dict):
@@ -333,12 +392,19 @@ def generate_diffusion_cond_inpaint(
     sampler_type: str = "dpmpp-3m-sde",
     sigma_min: float = 0.3,
     sigma_max: float = 500.0,
+    rho: float = 1.0,
+    cfg_interval: tp.Tuple[float, float] = (0.0, 1.0),
+    scale_phi: float = 0.0,
+    mesh=None,
+    tp_rules=None,
+    preview: bool = False,
     **sampler_kwargs,
 ):
     """Inpainting via masked-input conditioning channels (reference :222-405).
 
     Expects the model to have been trained with inpaint_mask input-concat
-    conditioning (model_type diffusion_cond_inpaint).
+    conditioning (model_type diffusion_cond_inpaint). Same fused one-program
+    design as generate_diffusion_cond (jit-cached per static config).
     """
     rng, seed = _seed_rng(seed)
     shape = _latent_shape(model, batch_size, sample_size)
@@ -385,26 +451,46 @@ def generate_diffusion_cond_inpaint(
         conditioning_tensors = compute_conditioning_tensors(model, variables, conditioning)
 
     noise = jax.random.normal(jax.random.fold_in(rng, 0), shape)
+    if mesh is not None:
+        variables, noise = _place_for_mesh(variables, noise, mesh, tp_rules)
 
-    def model_fn(x, t, **kw):
-        return model.apply(
-            variables, x, t,
-            cond_tensors=conditioning_tensors,
-            cfg_scale=cfg_scale,
-            input_concat_cond=inpaint_cond,
-            **kw,
-        )
-
-    out = sample_k(
-        model_fn, noise, steps=steps, sampler_type=sampler_type,
-        sigma_min=sigma_min, sigma_max=sigma_max,
-        rng=jax.random.fold_in(rng, 1), **sampler_kwargs,
+    chunk_kwargs = _chunk_decode_kwargs(model, mesh)
+    key = (
+        "inpaint", steps, sampler_type, float(sigma_min), float(sigma_max),
+        float(rho), float(cfg_scale), float(scale_phi), tuple(cfg_interval),
+        shape, bool(return_latents),
+        tuple(sorted(sampler_kwargs.items())), bool(chunk_kwargs), bool(preview),
     )
-    if return_latents:
-        return out
-    if model.pretransform is not None:
-        out = model.apply(
-            variables, out, method=model.pretransform_decode,
-            rngs={"sample": jax.random.fold_in(rng, 98)},
+    if preview:
+        sampler_kwargs = dict(sampler_kwargs,
+                              denoised_tap=get_preview_tap(model))
+        getattr(model, "_preview_buffer").clear()
+
+    def build(variables, noise, cond_tensors, inpaint_cond, rng):
+        def model_fn(x, t, **kw):
+            return model.apply(
+                variables, x, t,
+                cond_tensors=cond_tensors,
+                cfg_scale=cfg_scale,
+                scale_phi=scale_phi,
+                cfg_interval=tuple(cfg_interval),
+                input_concat_cond=inpaint_cond,
+                **kw,
+            )
+
+        out = sample_k(
+            model_fn, noise, steps=steps, sampler_type=sampler_type,
+            sigma_min=sigma_min, sigma_max=sigma_max, rho=rho,
+            rng=jax.random.fold_in(rng, 1), **sampler_kwargs,
         )
-    return out
+        if not return_latents and model.pretransform is not None:
+            out = model.apply(
+                variables, out, method=model.pretransform_decode,
+                rngs={"sample": jax.random.fold_in(rng, 98)},
+                **chunk_kwargs,
+            )
+        return out
+
+    fn = _jit_cache(model, key, build)
+    return _call_with_mesh(fn, mesh, variables, noise, conditioning_tensors,
+                           inpaint_cond, rng)

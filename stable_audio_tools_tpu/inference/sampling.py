@@ -657,6 +657,24 @@ V_SAMPLERS = ("v-ddim", "v-ddim-cfgpp")
 RF_SAMPLERS = ("euler", "rk4", "dpmpp", "pingpong")
 
 
+def _wrap_denoised_tap(denoiser, tap):
+    """Stream (denoised, sigma) to a host callback from inside the fused
+    sampler scan (preview spectrograms: reference
+    interfaces/diffusion_cond.py:163-182 runs a python callback per step; here
+    the scan stays one program and io_callback taps it)."""
+    import jax.experimental
+
+    def tapped(x, sigma, **kwargs):
+        denoised = denoiser(x, sigma, **kwargs)
+        jax.experimental.io_callback(
+            tap, None, denoised, jnp.max(jnp.broadcast_to(sigma, (1,))),
+            ordered=True,
+        )
+        return denoised
+
+    return tapped
+
+
 def sample_k(
     model_fn,
     noise,
@@ -667,12 +685,15 @@ def sample_k(
     sigma_max=100.0,
     rho=1.0,
     rng=None,
+    denoised_tap=None,
     **extra_args,
 ):
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if sampler_type in K_DIFFUSION_SAMPLERS:
         denoiser = make_v_denoiser(model_fn)
+        if denoised_tap is not None:
+            denoiser = _wrap_denoised_tap(denoiser, denoised_tap)
         sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
         noise = noise * sigmas[0]
         x = init_data + noise if init_data is not None else noise
@@ -701,6 +722,23 @@ def sample_k(
         alpha, sigma = t_to_alpha_sigma(jnp.asarray(sigma_max))
         x = init_data * alpha + noise * sigma if init_data is not None else noise
         cfg_pp = sampler_type == "v-ddim-cfgpp"
+        if denoised_tap is not None:
+            # v-model: denoised = alpha(t)*x - sigma(t)*v
+            base_fn = model_fn
+
+            def model_fn(x, t, **kwargs):
+                v = base_fn(x, t, **kwargs)
+                a, s = t_to_alpha_sigma(t)
+                sh = (-1,) + (1,) * (x.ndim - 1)
+                import jax.experimental
+
+                jax.experimental.io_callback(
+                    denoised_tap, None,
+                    x * a.reshape(sh) - v * s.reshape(sh),
+                    jnp.max(jnp.broadcast_to(t, (1,))), ordered=True,
+                )
+                return v
+
         return sample(model_fn, x, steps, eta=0.0, sigma_max=sigma_max, cfg_pp=cfg_pp,
                       rng=rng, **extra_args)
     raise ValueError(f"Unknown sampler type {sampler_type}")
@@ -714,6 +752,7 @@ def sample_rf(
     sampler_type="euler",
     sigma_max=1.0,
     rng=None,
+    denoised_tap=None,
     **extra_args,
 ):
     if rng is None:
@@ -723,6 +762,22 @@ def sample_rf(
         x = init_data * (1 - sigma_max) + noise * sigma_max
     else:
         x = noise
+    if denoised_tap is not None:
+        # rectified flow: x_t = (1-t)*x0 + t*noise, v = noise - x0
+        base_fn = model_fn
+
+        def model_fn(x, t, **kwargs):
+            v = base_fn(x, t, **kwargs)
+            sh = (-1,) + (1,) * (x.ndim - 1)
+            tb = jnp.broadcast_to(t, (x.shape[0],))
+            import jax.experimental
+
+            jax.experimental.io_callback(
+                denoised_tap, None, x - v * tb.reshape(sh),
+                jnp.max(tb), ordered=True,
+            )
+            return v
+
     t = get_rf_schedule(steps, sigma_max)
     if sampler_type == "euler":
         return sample_discrete_euler(model_fn, x, sigmas=t, sigma_max=sigma_max,

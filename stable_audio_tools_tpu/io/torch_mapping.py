@@ -33,12 +33,64 @@ def _lin_b(sd, name):
     return out
 
 
-def import_transformer_block(sd, prefix: str, cross_attend: bool) -> dict:
+# -- fused-projection layout permutations ------------------------------------
+#
+# Our Attention/GLU store fused kernels INTERLEAVED (head-major [h][q|k|v][dh]
+# for to_qkv/to_kv, pairwise (x_j, gate_j) for the GLU proj) so that
+# tensor-parallel tiled shardings align with the downstream split for any
+# shard count — see ops/attention.py / ops/transformer.py. Torch checkpoints
+# store the [q|k|v] / [x|gate] concat layout; these helpers convert.
+
+
+def _interleave_fused(kernel, n_fused, dim_heads):
+    """[in, n*H*dh] concat [q|k|v] → head-major interleave [h][q|k|v][dh]."""
+    din, dout = kernel.shape
+    heads = dout // (n_fused * dim_heads)
+    return kernel.reshape(din, n_fused, heads, dim_heads).transpose(
+        0, 2, 1, 3).reshape(din, dout)
+
+
+def _deinterleave_fused(kernel, n_fused, dim_heads):
+    din, dout = kernel.shape
+    heads = dout // (n_fused * dim_heads)
+    return kernel.reshape(din, heads, n_fused, dim_heads).transpose(
+        0, 2, 1, 3).reshape(din, dout)
+
+
+def _interleave_glu(arr):
+    """concat [x | gate] → pairwise (x_0, g_0, x_1, g_1, ...); last axis."""
+    inner = arr.shape[-1] // 2
+    return arr.reshape(*arr.shape[:-1], 2, inner).swapaxes(-1, -2).reshape(
+        *arr.shape[:-1], 2 * inner)
+
+
+def _deinterleave_glu(arr):
+    inner = arr.shape[-1] // 2
+    return arr.reshape(*arr.shape[:-1], inner, 2).swapaxes(-1, -2).reshape(
+        *arr.shape[:-1], 2 * inner)
+
+
+def _lin_fused(sd, name, n_fused, dim_heads):
+    return {"kernel": _interleave_fused(
+        torch_linear_weight(sd[f"{name}.weight"]).astype(np.float32),
+        n_fused, dim_heads)}
+
+
+def _lin_glu(sd, name):
+    out = {"kernel": _interleave_glu(
+        torch_linear_weight(sd[f"{name}.weight"]).astype(np.float32))}
+    if f"{name}.bias" in sd:
+        out["bias"] = _interleave_glu(sd[f"{name}.bias"].astype(np.float32))
+    return out
+
+
+def import_transformer_block(sd, prefix: str, cross_attend: bool,
+                             dim_heads: int = 64) -> dict:
     """reference models/transformer.py TransformerBlock → our TransformerBlock."""
     p = {}
     p["pre_norm"] = {"gamma": sd[f"{prefix}.pre_norm.gamma"].astype(np.float32)}
     p["ff_norm"] = {"gamma": sd[f"{prefix}.ff_norm.gamma"].astype(np.float32)}
-    attn = {"to_qkv": _lin(sd, f"{prefix}.self_attn.to_qkv"),
+    attn = {"to_qkv": _lin_fused(sd, f"{prefix}.self_attn.to_qkv", 3, dim_heads),
             "to_out": _lin(sd, f"{prefix}.self_attn.to_out")}
     if f"{prefix}.self_attn.q_norm.weight" in sd:
         attn["q_norm"] = {"scale": sd[f"{prefix}.self_attn.q_norm.weight"],
@@ -51,7 +103,8 @@ def import_transformer_block(sd, prefix: str, cross_attend: bool) -> dict:
             "gamma": sd[f"{prefix}.cross_attend_norm.gamma"].astype(np.float32)
         }
         cattn = {"to_q": _lin(sd, f"{prefix}.cross_attn.to_q"),
-                 "to_kv": _lin(sd, f"{prefix}.cross_attn.to_kv"),
+                 "to_kv": _lin_fused(sd, f"{prefix}.cross_attn.to_kv", 2,
+                                     dim_heads),
                  "to_out": _lin(sd, f"{prefix}.cross_attn.to_out")}
         if f"{prefix}.cross_attn.q_norm.weight" in sd:
             cattn["q_norm"] = {"scale": sd[f"{prefix}.cross_attn.q_norm.weight"],
@@ -61,7 +114,7 @@ def import_transformer_block(sd, prefix: str, cross_attend: bool) -> dict:
         p["cross_attn"] = cattn
     # FeedForward: ff.ff.0 = GLU(proj), ff.ff.2 = linear_out
     p["ff"] = {
-        "linear_in": {"proj": _lin_b(sd, f"{prefix}.ff.ff.0.proj")},
+        "linear_in": {"proj": _lin_glu(sd, f"{prefix}.ff.ff.0.proj")},
         "linear_out": _lin_b(sd, f"{prefix}.ff.ff.2"),
     }
     if f"{prefix}.to_scale_shift_gate" in sd:
@@ -72,7 +125,8 @@ def import_transformer_block(sd, prefix: str, cross_attend: bool) -> dict:
 
 
 def import_continuous_transformer(sd, prefix: str, depth: int,
-                                  cross_attend: bool) -> dict:
+                                  cross_attend: bool,
+                                  dim_heads: int = 64) -> dict:
     p = {}
     if f"{prefix}.project_in.weight" in sd:
         p["project_in"] = _lin(sd, f"{prefix}.project_in")
@@ -80,7 +134,7 @@ def import_continuous_transformer(sd, prefix: str, depth: int,
         p["project_out"] = _lin(sd, f"{prefix}.project_out")
     for i in range(depth):
         p[f"layers_{i}"] = import_transformer_block(
-            sd, f"{prefix}.layers.{i}", cross_attend
+            sd, f"{prefix}.layers.{i}", cross_attend, dim_heads=dim_heads
         )
     if f"{prefix}.global_cond_embedder.0.weight" in sd:
         p["global_embed_0"] = _lin_b(sd, f"{prefix}.global_cond_embedder.0")
@@ -88,7 +142,8 @@ def import_continuous_transformer(sd, prefix: str, depth: int,
     return p
 
 
-def import_dit(sd, prefix: str, depth: int, cross_attend: bool = True) -> dict:
+def import_dit(sd, prefix: str, depth: int, cross_attend: bool = True,
+               dim_heads: int = 64) -> dict:
     """reference models/dit.py DiffusionTransformer → our DiffusionTransformer."""
     p = {}
     p["timestep_features"] = {
@@ -109,7 +164,7 @@ def import_dit(sd, prefix: str, depth: int, cross_attend: bool = True) -> dict:
         "kernel": torch_conv1d_weight(sd[f"{prefix}postprocess_conv.weight"])
     }
     p["transformer"] = import_continuous_transformer(
-        sd, f"{prefix}transformer", depth, cross_attend
+        sd, f"{prefix}transformer", depth, cross_attend, dim_heads=dim_heads
     )
     return p
 
@@ -127,7 +182,8 @@ def import_diffusion_cond_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dic
     if hasattr(inner, "dit"):
         dit_cfg = inner.dit
         params: dict = {"model": {"dit": import_dit(
-            sd, "model.model.", dit_cfg.depth, dit_cfg.cond_token_dim > 0
+            sd, "model.model.", dit_cfg.depth, dit_cfg.cond_token_dim > 0,
+            dim_heads=dit_cfg.embed_dim // dit_cfg.num_heads,
         )}}
     else:
         # ADP UNet families (reference diffusion.py:222-336 wrap the UNet as
@@ -370,24 +426,27 @@ def import_adp_unet_cfg(sd, prefix: str, factors: tp.Sequence[int],
 # ---------------------------------------------------------------------------
 
 
-def export_transformer_block(p: dict, prefix: str, out: dict):
+def export_transformer_block(p: dict, prefix: str, out: dict,
+                             dim_heads: int = 64):
     out[f"{prefix}.pre_norm.gamma"] = np.asarray(p["pre_norm"]["gamma"])
     out[f"{prefix}.ff_norm.gamma"] = np.asarray(p["ff_norm"]["gamma"])
-    out[f"{prefix}.self_attn.to_qkv.weight"] = np.asarray(
-        p["self_attn"]["to_qkv"]["kernel"]).T
+    out[f"{prefix}.self_attn.to_qkv.weight"] = _deinterleave_fused(
+        np.asarray(p["self_attn"]["to_qkv"]["kernel"]), 3, dim_heads).T
     out[f"{prefix}.self_attn.to_out.weight"] = np.asarray(
         p["self_attn"]["to_out"]["kernel"]).T
     if "cross_attn" in p:
         out[f"{prefix}.cross_attend_norm.gamma"] = np.asarray(
             p["cross_attend_norm"]["gamma"])
-        for n in ("to_q", "to_kv", "to_out"):
+        for n in ("to_q", "to_out"):
             out[f"{prefix}.cross_attn.{n}.weight"] = np.asarray(
                 p["cross_attn"][n]["kernel"]).T
-    out[f"{prefix}.ff.ff.0.proj.weight"] = np.asarray(
-        p["ff"]["linear_in"]["proj"]["kernel"]).T
+        out[f"{prefix}.cross_attn.to_kv.weight"] = _deinterleave_fused(
+            np.asarray(p["cross_attn"]["to_kv"]["kernel"]), 2, dim_heads).T
+    out[f"{prefix}.ff.ff.0.proj.weight"] = _deinterleave_glu(
+        np.asarray(p["ff"]["linear_in"]["proj"]["kernel"])).T
     if "bias" in p["ff"]["linear_in"]["proj"]:
-        out[f"{prefix}.ff.ff.0.proj.bias"] = np.asarray(
-            p["ff"]["linear_in"]["proj"]["bias"])
+        out[f"{prefix}.ff.ff.0.proj.bias"] = _deinterleave_glu(
+            np.asarray(p["ff"]["linear_in"]["proj"]["bias"]))
     out[f"{prefix}.ff.ff.2.weight"] = np.asarray(p["ff"]["linear_out"]["kernel"]).T
     if "bias" in p["ff"]["linear_out"]:
         out[f"{prefix}.ff.ff.2.bias"] = np.asarray(p["ff"]["linear_out"]["bias"])
@@ -395,7 +454,8 @@ def export_transformer_block(p: dict, prefix: str, out: dict):
         out[f"{prefix}.to_scale_shift_gate"] = np.asarray(p["to_scale_shift_gate"])
 
 
-def export_dit_state_dict(dit_params: dict, prefix: str = "model.model.") -> dict:
+def export_dit_state_dict(dit_params: dict, prefix: str = "model.model.",
+                          dim_heads: int = 64) -> dict:
     out: dict = {}
     p = dit_params
     out[f"{prefix}timestep_features.weight"] = np.asarray(
@@ -424,5 +484,6 @@ def export_dit_state_dict(dit_params: dict, prefix: str = "model.model.") -> dic
     for key in tp_:
         if key.startswith("layers_"):
             i = int(key.split("_")[1])
-            export_transformer_block(tp_[key], f"{prefix}transformer.layers.{i}", out)
+            export_transformer_block(tp_[key], f"{prefix}transformer.layers.{i}",
+                                     out, dim_heads=dim_heads)
     return out

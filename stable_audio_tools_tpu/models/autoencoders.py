@@ -455,7 +455,20 @@ class AudioAutoencoder(nn.Module):
             )
         return y
 
-    def encode_audio(self, audio, chunked=False, overlap=32, chunk_size=128, **kwargs):
+    @staticmethod
+    def _run_chunks(fn, chunks, chunk_pspec):
+        """Sequential lax.map by default (bounded memory, single chip);
+        with chunk_pspec, chunks run data-parallel over the mesh: vmap +
+        GSPMD sharding of the chunk axis, so an N-chunk codec pass on an
+        n-device mesh costs ~N/n chunk decodes of wall-clock."""
+        if chunk_pspec is None:
+            return jax.lax.map(fn, chunks)
+        chunks = jax.lax.with_sharding_constraint(chunks, chunk_pspec)
+        out = jax.vmap(fn)(chunks)
+        return jax.lax.with_sharding_constraint(out, chunk_pspec)
+
+    def encode_audio(self, audio, chunked=False, overlap=32, chunk_size=128,
+                     chunk_pspec=None, **kwargs):
         """audio: [B, C, T]. chunk_size/overlap measured in latents."""
         if not chunked or audio.shape[2] <= chunk_size * int(self.downsampling_ratio):
             return self.encode(audio, **kwargs)
@@ -466,13 +479,14 @@ class AudioAutoencoder(nn.Module):
         starts = self._chunk_starts(total, cs, hop)
         chunks = jnp.stack([jax.lax.dynamic_slice_in_dim(audio, s, cs, 2) for s in starts])
         enc = lambda c: self.encode(c, **kwargs)
-        y_chunks = jax.lax.map(enc, chunks)  # [N, B, latent, cs/spl]
+        y_chunks = self._run_chunks(enc, chunks, chunk_pspec)  # [N, B, latent, cs/spl]
         lat_starts = [s // spl for s in starts]
         return self._overlap_paste(
             y_chunks, lat_starts, cs // spl, total // spl, overlap // 2
         )
 
-    def decode_audio(self, latents, chunked=False, overlap=32, chunk_size=128, **kwargs):
+    def decode_audio(self, latents, chunked=False, overlap=32, chunk_size=128,
+                     chunk_pspec=None, **kwargs):
         """latents: [B, latent_dim, S]. chunk_size/overlap measured in latents."""
         if not chunked or latents.shape[2] <= chunk_size:
             return self.decode(latents, **kwargs)
@@ -484,7 +498,7 @@ class AudioAutoencoder(nn.Module):
             [jax.lax.dynamic_slice_in_dim(latents, s, chunk_size, 2) for s in starts]
         )
         dec = lambda c: self.decode(c, **kwargs)
-        y_chunks = jax.lax.map(dec, chunks)
+        y_chunks = self._run_chunks(dec, chunks, chunk_pspec)
         audio_starts = [s * spl for s in starts]
         return self._overlap_paste(
             y_chunks, audio_starts, chunk_size * spl, total * spl, (overlap // 2) * spl

@@ -55,8 +55,8 @@ class DiffusionModelWrapper(nn.Module):
     def pretransform_encode(self, audio):
         return self.pretransform.encode(audio)
 
-    def pretransform_decode(self, latents):
-        return self.pretransform.decode(latents)
+    def pretransform_decode(self, latents, **kwargs):
+        return self.pretransform.decode(latents, **kwargs)
 
 
 class ConditionedDiffusionModelWrapper(nn.Module):
@@ -168,8 +168,8 @@ class ConditionedDiffusionModelWrapper(nn.Module):
         z = self.pretransform.encode(audio)
         return jax.lax.stop_gradient(z) if not self.pretransform.enable_grad else z
 
-    def pretransform_decode(self, latents):
-        return self.pretransform.decode(latents)
+    def pretransform_decode(self, latents, **kwargs):
+        return self.pretransform.decode(latents, **kwargs)
 
 
 class DiTWrapper(nn.Module):

@@ -408,9 +408,11 @@ class DACGANLoss(nn.Module):
 class MultiScaleSubbandCQTDiscriminator(nn.Module):
     """BigVGAN-v2-style CQT discriminator (reference discriminators.py:469-593).
 
-    Uses a pseudo-CQT: STFT magnitudes mapped through a log-frequency
-    (constant-Q) filterbank per scale, then 2D conv stacks — behaviorally
-    equivalent discrimination surface without the nnAudio CQT dependency.
+    Uses a TRUE complex constant-Q transform (ops/cqt.py, CQT2010-style
+    octave decimation — the same algorithm as the reference's nnAudio
+    CQT2010v2 dependency): per scale, the complex CQT's real/imag parts feed
+    the 2D conv stack as channels, matching BigVGAN's DiscriminatorCQT input
+    surface.
     """
 
     sample_rate: int = 44100
@@ -419,37 +421,27 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
     hop_lengths: tp.Tuple[int, ...] = (512, 256, 256)
     n_octaves: tp.Tuple[int, ...] = (9, 9, 9)
     bins_per_octaves: tp.Tuple[int, ...] = (24, 36, 48)
-
-    def _cqt_filterbank(self, n_fft: int, n_bins: int, fmin: float):
-        import numpy as np
-
-        fft_freqs = np.linspace(0, self.sample_rate / 2, n_fft // 2 + 1)
-        centers = fmin * 2 ** (np.arange(n_bins) / (n_bins / 9))
-        centers = np.clip(centers, 1, self.sample_rate / 2 - 1)
-        fb = np.zeros((n_bins, len(fft_freqs)), np.float32)
-        for i, c in enumerate(centers):
-            bw = c * (2 ** (1 / 24) - 1) * 2 + 1e-3
-            fb[i] = np.exp(-0.5 * ((fft_freqs - c) / bw) ** 2)
-            fb[i] /= fb[i].sum() + 1e-8
-        return fb
+    fmin: float = 32.7
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.stft import stft as _stft
+        from ..ops.cqt import cqt as _cqt
 
         logits, fmaps = [], []
         B, C, T = x.shape
         for si, hop in enumerate(self.hop_lengths):
-            n_fft = hop * 4
-            n_bins = self.n_octaves[si] * self.bins_per_octaves[si] // 4
-            fb = jnp.asarray(self._cqt_filterbank(n_fft, n_bins, 32.7))
+            n_oct = self.n_octaves[si]
+            # per-octave hops must stay integral (CQT2010 constraint)
+            while hop % (2 ** (n_oct - 1)) != 0:
+                n_oct -= 1
             flat = x.reshape(B * C, T)
-            spec = _stft(flat, n_fft, hop, n_fft)
-            mag = jnp.sqrt(jnp.clip(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2,
-                                    1e-8, None))
-            cqt = mag @ fb.T  # [B*C, frames, bins]
-            h = cqt.reshape(B, C, cqt.shape[-2], cqt.shape[-1])
-            h = jnp.log1p(h).transpose(0, 2, 3, 1)  # NHWC
+            re, im = _cqt(flat, self.sample_rate, hop, fmin=self.fmin,
+                          n_octaves=n_oct,
+                          bins_per_octave=self.bins_per_octaves[si],
+                          complex_output=False)
+            frames, bins = re.shape[-2], re.shape[-1]
+            h = jnp.stack([re, im], axis=1)
+            h = h.reshape(B, C * 2, frames, bins).transpose(0, 2, 3, 1)  # NHWC
             fmap = []
             for i in range(3):
                 h = WNConv2d(self.filters, (3, 9), stride=(1, 2 if i else 1),

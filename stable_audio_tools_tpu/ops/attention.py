@@ -189,10 +189,10 @@ class Attention(nn.Module):
             # here so the main path can use the tensors verbatim.
             assert self.dim_context is not None and not self.differential
             kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)
-            k, v = jnp.split(kv_proj, n_kv, axis=-1)
-            b, n, _ = k.shape
-            k = k.reshape(b, n, kv_h, self.dim_heads).transpose(0, 2, 1, 3)
-            v = v.reshape(b, n, kv_h, self.dim_heads).transpose(0, 2, 1, 3)
+            b, n, _ = kv_proj.shape
+            kv = kv_proj.reshape(b, n, kv_h, 2, self.dim_heads)
+            k = kv[..., 0, :].transpose(0, 2, 1, 3)
+            v = kv[..., 1, :].transpose(0, 2, 1, 3)
             if self.qk_norm == "l2":
                 k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
             elif self.qk_norm == "ln":
@@ -232,29 +232,41 @@ class Attention(nn.Module):
                 if self.zero_init_output else nn.initializers.lecun_normal(),
             )(out)
 
+        # Fused projections use a HEAD-MAJOR INTERLEAVED column layout
+        # ([h][q|k|v][dh] for to_qkv, [h][k|v][dh] for to_kv, non-differential
+        # paths): a tensor-parallel tiled sharding of the fused kernel then
+        # lands every q/k/v boundary on a shard boundary for any shard count
+        # dividing the head count — zero collectives where the torch-style
+        # [q|k|v] concat layout forces GSPMD to reshard every layer. The
+        # torch checkpoint importer (io/torch_mapping.py) permutes between
+        # the layouts. Differential attention keeps the concat layout.
         if self.dim_context is not None:
             q_proj = dense(dim * n_q, "to_q")(x)
             kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)
-            qs = jnp.split(q_proj, n_q, axis=-1)
-            kvs = jnp.split(kv_proj, n_kv, axis=-1)
             if self.differential:
-                q, q_diff = qs
-                k, k_diff, v = kvs
+                q, q_diff = jnp.split(q_proj, n_q, axis=-1)
+                k, k_diff, v = jnp.split(kv_proj, n_kv, axis=-1)
             else:
-                (q,), (k, v) = qs, kvs
+                q = q_proj
+                b, m, _ = kv_proj.shape
+                kv = kv_proj.reshape(b, m, kv_h, 2, self.dim_heads)
+                k, v = kv[..., 0, :], kv[..., 1, :]  # [B, M, kv_h, dh]
                 q_diff = k_diff = None
         else:
             qkv = dense(dim * (5 if self.differential else 3), "to_qkv")(x)
-            parts = jnp.split(qkv, 5 if self.differential else 3, axis=-1)
             if self.differential:
-                q, k, v, q_diff, k_diff = parts
+                q, k, v, q_diff, k_diff = jnp.split(qkv, 5, axis=-1)
             else:
-                q, k, v = parts
+                b, n_, _ = qkv.shape
+                qkv = qkv.reshape(b, n_, h, 3, self.dim_heads)
+                q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
                 q_diff = k_diff = None
 
         def split_heads(t, nh):
-            b, n, _ = t.shape
-            return t.reshape(b, n, nh, self.dim_heads).transpose(0, 2, 1, 3)
+            b, n = t.shape[:2]
+            if t.ndim == 3:
+                t = t.reshape(b, n, nh, self.dim_heads)
+            return t.transpose(0, 2, 1, 3)
 
         q = split_heads(q, h)
         k = split_heads(k, kv_h)

@@ -29,12 +29,22 @@ from .norms import DynamicTanh, LayerNorm, LayerScale
 
 
 class GLU(nn.Module):
+    """Gated linear unit with a PAIRWISE-INTERLEAVED fused projection.
+
+    Column layout of `proj` is (x_0, gate_0, x_1, gate_1, ...) rather than the
+    torch-style [x | gate] concat: a tensor-parallel tiled sharding of the
+    kernel then keeps every (x_j, gate_j) pair on one shard for any shard
+    count dividing dim_out (the concat layout pairs elements across shards
+    and forces GSPMD to reshard). io/torch_mapping.py permutes on import.
+    """
+
     dim_out: int
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         proj = nn.Dense(self.dim_out * 2, name="proj", dtype=x.dtype, param_dtype=jnp.float32)(x)
-        x, gate = jnp.split(proj, 2, axis=-1)
+        proj = proj.reshape(*proj.shape[:-1], self.dim_out, 2)
+        x, gate = proj[..., 0], proj[..., 1]
         return x * jax.nn.silu(gate)
 
 

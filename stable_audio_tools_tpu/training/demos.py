@@ -44,16 +44,28 @@ class _DemoBase:
             "demo_sample_size", model_config["sample_size"]
         )
 
-    def _save(self, audio: np.ndarray, name: str, step: int):
+    def _save(self, audio: np.ndarray, name: str, step: int,
+              latents: tp.Optional[np.ndarray] = None, caption: str = None):
+        """Write wavs + mel (+ latent melspec/PCA) to demo_dir AND the logger
+        (wandb shim / JSONL) — reference training/diffusion.py:599-796 logs
+        a demo grid with per-cfg-scale audio, spectrogram, and latent PCA."""
         from ..data.wav import save_wav
         from ..interface.aeiou import audio_spectrogram_image
 
         os.makedirs(self.demo_dir, exist_ok=True)
         audio = np.asarray(audio)
         peak = np.abs(audio).max() or 1.0
+        paths = []
         for b in range(audio.shape[0]):
             path = os.path.join(self.demo_dir, f"{name}_step{step}_{b}.wav")
             save_wav(path, audio[b] / peak * 0.95, self.sample_rate)
+            paths.append(path)
+        if self.logger is not None:
+            from .utils import log_audio, log_metric
+
+            log_audio(self.logger, f"demo/{name}", audio[0] / peak * 0.95,
+                      self.sample_rate, caption=caption or name, step=step)
+            log_metric(self.logger, f"demo/{name}_files", paths, step=step)
         try:
             import matplotlib
 
@@ -63,12 +75,40 @@ class _DemoBase:
 
             plt.imsave(os.path.join(
                 self.demo_dir, f"{name}_step{step}_mel.png"), img)
+            if self.logger is not None:
+                from .utils import log_image
+
+                log_image(self.logger, f"demo/{name}_melspec", img, step=step)
+            if latents is not None:
+                from ..interface.aeiou import (
+                    pca_point_cloud, tokens_spectrogram_image,
+                )
+
+                lat = np.asarray(latents)
+                mel = tokens_spectrogram_image(lat)
+                pca = pca_point_cloud(lat)
+                plt.imsave(os.path.join(
+                    self.demo_dir, f"{name}_step{step}_latents.png"), mel)
+                plt.imsave(os.path.join(
+                    self.demo_dir, f"{name}_step{step}_latents_pca.png"), pca)
+                if self.logger is not None:
+                    from .utils import log_image
+
+                    log_image(self.logger, f"demo/{name}_latents_melspec", mel,
+                              step=step)
+                    log_image(self.logger, f"demo/{name}_latents_pca", pca,
+                              step=step)
         except Exception:
             pass
 
 
 class DiffusionCondDemoCallback(_DemoBase):
+    """Demo grid over cfg scales: per-scale audio + mel + latent melspec/PCA
+    to disk and the logger (reference training/diffusion.py:599-796)."""
+
     def __call__(self, model, wrapper, state, step: int):
+        import jax
+
         from ..inference.generation import generate_diffusion_cond
 
         prompts = self.demo_config.get("demo_cond", [
@@ -79,12 +119,23 @@ class DiffusionCondDemoCallback(_DemoBase):
         variables = {"params": state.ema_params if state.ema_params is not None
                      else state.params}
         for scale in cfg_scales:
-            audio = generate_diffusion_cond(
+            latents = generate_diffusion_cond(
                 model, variables, steps=steps, cfg_scale=scale,
                 conditioning=list(prompts), batch_size=len(prompts),
                 sample_size=self.sample_size, seed=step,
+                return_latents=model.pretransform is not None,
             )
-            self._save(np.asarray(audio), f"demo_cfg{scale}", step)
+            if model.pretransform is not None:
+                audio = model.apply(
+                    variables, latents, method=model.pretransform_decode,
+                    rngs={"sample": jax.random.PRNGKey(step)},
+                )
+            else:
+                audio, latents = latents, None
+            caption = "; ".join(str(p.get("prompt", p)) for p in prompts)
+            self._save(np.asarray(audio), f"demo_cfg{scale}", step,
+                       latents=None if latents is None else np.asarray(latents),
+                       caption=f"cfg={scale} | {caption}")
 
 
 class DiffusionUncondDemoCallback(_DemoBase):
@@ -154,15 +205,5 @@ class AutoencoderDemoCallback(_DemoBase):
             rngs={"sample": jax.random.PRNGKey(step)}, method=model.encode,
         )
         recon = model.apply(variables, latents, method=model.decode)
-        self._save(np.asarray(recon), "recon", step)
+        self._save(np.asarray(recon), "recon", step, latents=np.asarray(latents))
         self._save(np.asarray(audio), "real", step)
-        try:
-            from ..interface.aeiou import pca_point_cloud, tokens_spectrogram_image
-            from matplotlib import pyplot as plt
-
-            plt.imsave(os.path.join(self.demo_dir, f"latents_step{step}.png"),
-                       tokens_spectrogram_image(np.asarray(latents)))
-            plt.imsave(os.path.join(self.demo_dir, f"latents_pca_step{step}.png"),
-                       pca_point_cloud(np.asarray(latents)))
-        except Exception:
-            pass

@@ -114,11 +114,24 @@ class JSONLLogger:
         self.path = path
 
     def log_metrics(self, metrics: dict, step: int = None):
-        rec = {k: float(v) for k, v in metrics.items()}
+        def ser(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return v  # strings / path lists (demo artifacts)
+
+        rec = {k: ser(v) for k, v in metrics.items()}
         if step is not None:
             rec["step"] = step
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    def log_image(self, key, image, step=None):
+        # JSONL backend: images are already on disk (demo dir); record the key
+        self.log_metrics({key: "image"}, step=step)
+
+    def log_audio(self, key, audio, sample_rate, caption=None, step=None):
+        self.log_metrics({key: caption or "audio"}, step=step)
 
 
 class WandbLogger:

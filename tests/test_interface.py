@@ -86,3 +86,138 @@ def test_demo_callback_uncond(tmp_path):
     cb(model, wrapper, state, step=1)
     files = os.listdir(tmp_path)
     assert any(f.endswith(".wav") for f in files), files
+
+
+@pytest.fixture(scope="module")
+def loaded_cond_model():
+    from stable_audio_tools_tpu.interface import gradio as gio
+    from tests.test_diffusion_cond import TINY_DIT_CONFIG
+
+    cfg = {**TINY_DIT_CONFIG}
+    gio.load_model(model_config=cfg)
+    return gio
+
+
+def test_generate_cond_fn_with_preview_and_export(loaded_cond_model, tmp_path):
+    """Full text-to-audio backend: previews stream out of the fused sampler
+    scan, output lands as a WAV file, spectrograms render."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    gio = loaded_cond_model
+    path, images = gio.generate_cond_fn(
+        prompt=None, seconds_start=0, seconds_total=1,
+        cfg_scale=3.0, steps=4, preview_every=2, seed=11,
+        sampler_type="dpmpp-2m", sigma_min=0.3, sigma_max=50.0,
+        file_format="wav", file_naming="output.wav",
+        cut_to_seconds_total=False, out_dir=str(tmp_path),
+    )
+    assert os.path.exists(path) and path.endswith(".wav")
+    # final spectrogram + at least one preview (4 steps, every 2nd call)
+    assert len(images) >= 2
+    # preview captions carry sigma/logSNR
+    assert any(isinstance(im, tuple) and "sigma" in im[1] for im in images[1:])
+
+    from stable_audio_tools_tpu.data.wav import load_wav
+
+    audio, sr = load_wav(path)
+    assert sr == gio._model_state["config"]["sample_rate"]
+    assert np.all(np.isfinite(audio))
+
+
+def test_generate_cond_fn_init_audio_variation(loaded_cond_model, tmp_path):
+    gio = loaded_cond_model
+    sr = gio._model_state["config"]["sample_rate"]
+    init = np.random.RandomState(0).randn(2, 1024).astype(np.float32) * 0.1
+    path, images = gio.generate_cond_fn(
+        prompt=None, seconds_start=0, seconds_total=1,
+        cfg_scale=3.0, steps=3, seed=3, sampler_type="dpmpp-2m",
+        init_audio=(sr, init), init_noise_level=10.0,
+        cut_to_seconds_total=False, out_dir=str(tmp_path),
+    )
+    assert os.path.exists(path)
+
+
+def test_export_formats(tmp_path):
+    from stable_audio_tools_tpu.interface.export import (
+        condense_prompt, output_basename, save_output,
+    )
+
+    assert condense_prompt("A big!! drum & bass loop") == "a-big-drum-bass-loop"
+    assert output_basename("verbose", "kick drum", "hiss", 6.0, 7) == \
+        "kick-drum.neg-hiss.cfg6.0.7"
+    audio = np.random.RandomState(0).randn(2, 1600).astype(np.float32) * 0.1
+    p = save_output(audio, 16000, "wav", "x", str(tmp_path))
+    assert os.path.exists(p)
+    import shutil
+
+    if shutil.which("ffmpeg"):
+        p2 = save_output(audio, 16000, "flac", "x", str(tmp_path))
+        assert os.path.exists(p2)
+    else:
+        with pytest.raises(RuntimeError):
+            save_output(audio, 16000, "mp3 320k", "x", str(tmp_path))
+
+
+def test_generate_lm_fn():
+    from stable_audio_tools_tpu.interface import gradio as gio
+    from tests.test_lm import TINY_LM_CONFIG as LM_CONFIG
+
+    gio.load_model(model_config=LM_CONFIG)
+    (sr, audio), images = gio.generate_lm_fn(
+        temperature=1.0, top_p=0.0, top_k=8, seconds_total=0.1, seed=5,
+    )
+    assert audio.ndim == 2 and np.all(np.isfinite(audio))
+    assert len(images) == 1
+
+
+def test_demo_callback_cond_cfg_grid(tmp_path):
+    """Cond demo callback renders a grid over cfg scales with mel + latent
+    PCA artifacts and logs them (reference training/diffusion.py:599-796)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import json
+
+    from stable_audio_tools_tpu.models.factory import create_model_from_config
+    from stable_audio_tools_tpu.training.demos import (
+        create_demo_callback_from_config,
+    )
+    from stable_audio_tools_tpu.training.factory import (
+        create_training_wrapper_from_config,
+    )
+    from stable_audio_tools_tpu.training.utils import JSONLLogger
+    from tests.test_diffusion_cond import CONDITIONING, TINY_DIT_CONFIG
+
+    cfg = json.loads(json.dumps(TINY_DIT_CONFIG))
+    cfg.setdefault("training", {"learning_rate": 1e-3})["demo"] = {
+        "demo_every": 1, "demo_steps": 2, "demo_cfg_scales": [1.5, 3.0],
+        "demo_cond": CONDITIONING, "demo_sample_size": 512,
+    }
+    model = create_model_from_config(cfg)
+    wrapper = create_training_wrapper_from_config(cfg, model)
+    mc = model._multi_conditioner
+    prepared = jax.tree_util.tree_map(
+        jnp.asarray, mc.gather_inputs(CONDITIONING)
+    )
+    x = jnp.zeros((1, 4, 64))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+         "cfg": jax.random.PRNGKey(2)},
+        x, jnp.ones((1,)), cond=prepared, method=model.init_full,
+    )
+    state = wrapper.init_state(variables)
+    log_path = tmp_path / "log.jsonl"
+    cb = create_demo_callback_from_config(
+        cfg, demo_dir=str(tmp_path), logger=JSONLLogger(str(log_path)))
+    cb(model, wrapper, state, step=1)
+
+    files = os.listdir(tmp_path)
+    for scale in (1.5, 3.0):
+        assert any(f.startswith(f"demo_cfg{scale}_step1") and f.endswith(".wav")
+                   for f in files), files
+        assert f"demo_cfg{scale}_step1_mel.png" in files
+        assert f"demo_cfg{scale}_step1_latents_pca.png" in files
+    logged = [json.loads(l) for l in open(log_path)]
+    keys = {k for rec in logged for k in rec}
+    assert "demo/demo_cfg1.5" in keys and "demo/demo_cfg3.0_melspec" in keys

@@ -110,3 +110,54 @@ def test_orbax_sharded_checkpoint_roundtrip(setup, tmp_path):
     a = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     b = np.asarray(jax.tree_util.tree_leaves(restored["params"])[0])
     np.testing.assert_allclose(a, b)
+
+
+def test_chunked_codec_sharded_chunks_match_sequential():
+    """decode_audio/encode_audio with chunk_pspec (vmap + mesh-sharded chunk
+    axis) must match the sequential lax.map path exactly."""
+    from jax.sharding import PartitionSpec as P, set_mesh
+
+    from stable_audio_tools_tpu.models.factory import create_autoencoder_from_config
+
+    ae_cfg = {
+        "encoder": {"type": "oobleck", "config": {
+            "in_channels": 2, "channels": 8, "c_mults": [1, 2],
+            "strides": [2, 2], "latent_dim": 16, "use_snake": True}},
+        "decoder": {"type": "oobleck", "config": {
+            "out_channels": 2, "channels": 8, "c_mults": [1, 2],
+            "strides": [2, 2], "latent_dim": 8, "use_snake": True}},
+        "bottleneck": {"type": "vae"},
+        "latent_dim": 8, "downsampling_ratio": 4, "io_channels": 2,
+        "sample_rate": 16000,
+    }
+    model = create_autoencoder_from_config({"model": ae_cfg, "sample_rate": 16000})
+    audio = jnp.asarray(
+        np.random.RandomState(3).randn(1, 2, 1024).astype(np.float32) * 0.1
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        audio,
+    )
+    latents = jnp.asarray(
+        np.random.RandomState(4).randn(1, 8, 256).astype(np.float32)
+    )
+
+    kw = dict(chunked=True, chunk_size=64, overlap=16)
+    ref_dec = model.apply(variables, latents, method=model.decode_audio, **kw)
+    ref_enc = model.apply(variables, audio, rngs={"sample": jax.random.PRNGKey(7)},
+                          method=model.encode_audio, **kw)
+
+    mesh = create_mesh(data=4, model=2)
+    spec = P(("data", "model"))
+    with set_mesh(mesh):
+        got_dec = jax.jit(lambda v, z: model.apply(
+            v, z, method=model.decode_audio, chunk_pspec=spec, **kw
+        ))(variables, latents)
+        got_enc = jax.jit(lambda v, a: model.apply(
+            v, a, rngs={"sample": jax.random.PRNGKey(7)},
+            method=model.encode_audio, chunk_pspec=spec, **kw
+        ))(variables, audio)
+    np.testing.assert_allclose(np.asarray(got_dec), np.asarray(ref_dec),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_enc), np.asarray(ref_enc),
+                               rtol=1e-4, atol=1e-4)

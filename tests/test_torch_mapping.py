@@ -27,8 +27,10 @@ def test_dit_export_import_roundtrip():
     out_ref = dit.apply(variables, x, t, cross_attn_cond=ctx)
 
     # export to torch-layout names, then import back
-    sd = export_dit_state_dict(variables["params"], prefix="model.model.")
-    imported = import_dit(sd, "model.model.", depth=2, cross_attend=True)
+    sd = export_dit_state_dict(variables["params"], prefix="model.model.",
+                               dim_heads=32 // 4)
+    imported = import_dit(sd, "model.model.", depth=2, cross_attend=True,
+                          dim_heads=32 // 4)
 
     # merge imported over original structure (covers mapped tensors)
     def merge(orig, new):
@@ -79,8 +81,10 @@ def test_import_number_conditioner_weights():
             rs.randn(32).astype(np.float32))
     from stable_audio_tools_tpu.io import torch_mapping as tm
     # the importer needs the DiT keys too: export our own DiT params
+    dit = model.model.dit
     dit_sd = tm.export_dit_state_dict(
-        variables["params"]["model"]["dit"], prefix="model.model.")
+        variables["params"]["model"]["dit"], prefix="model.model.",
+        dim_heads=dit.embed_dim // dit.num_heads)
     sd.update(dit_sd)
     out = import_diffusion_cond_state_dict(model, sd)
     got = out["params"]["conditioner"]["modules_seconds_start"]["embedder"]

@@ -96,7 +96,10 @@ def main():
                 export_dit_state_dict,
             )
 
-            sd = export_dit_state_dict(params["model"]["dit"])
+            dit = model.model.dit
+            sd = export_dit_state_dict(
+                params["model"]["dit"],
+                dim_heads=dit.embed_dim // dit.num_heads)
             save_file({k: np.asarray(v) for k, v in sd.items()}, out,
                       metadata={"model_config": json.dumps(model_config)})
             print(f"Exported reference-layout model to {out}")
