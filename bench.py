@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 SMALL = "--small" in sys.argv
+INLINE = "--inline" in sys.argv  # r1-identical workload for A/B comparisons
 
 # SA-Open-1.0 proportions (configs/model_configs/txt2audio/stable_audio_open
 # in the reference): DiT depth 24 width 1536, latent 64ch @ 2048x VAE.
@@ -104,7 +105,7 @@ CONFIG = {
         "io_channels": DIT["io_channels"],
     },
 }
-if not SMALL:
+if not SMALL and not INLINE:
     CONFIG = _full_config()
 
 

@@ -439,16 +439,27 @@ def collation_fn(samples: tp.Sequence[tp.Tuple[np.ndarray, dict]]):
 
 
 class DataLoader:
-    """Thread-prefetching loader over a map-style or iterable dataset."""
+    """Thread-prefetching loader over a map-style or iterable dataset.
+
+    Multi-host: map-style datasets are rank-sharded DistributedSampler-style
+    (reference relies on PL's DistributedSampler) — every process shuffles
+    the SAME seeded permutation per epoch, then takes a disjoint stride
+    `indices[process_index::process_count]`. Iterable datasets shard
+    themselves (LocalTarDataset splits shards per process)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 num_workers: int = 4, drop_last: bool = True, prefetch: int = 4):
+                 num_workers: int = 4, drop_last: bool = True, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1, seed: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(num_workers, 1)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.seed = seed
+        self._epoch = 0
         self.is_iterable = not hasattr(dataset, "__getitem__")
 
     def __iter__(self):
@@ -465,7 +476,11 @@ class DataLoader:
 
         indices = list(range(len(self.dataset)))
         if self.shuffle:
-            random.shuffle(indices)
+            # same seeded permutation on every host, then disjoint strides
+            random.Random(self.seed + self._epoch).shuffle(indices)
+        self._epoch += 1
+        if self.process_count > 1:
+            indices = indices[self.process_index::self.process_count]
         n_batches = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:
             n_batches += 1
@@ -510,6 +525,12 @@ def create_dataloader_from_config(
         else "mono" if audio_channels == 1 else "foa"
     )
     random_crop = dataset_config.get("random_crop", True)
+    try:
+        import jax as _jax
+
+        _pi, _pc = _jax.process_index(), _jax.process_count()
+    except Exception:
+        _pi, _pc = 0, 1
 
     if dataset_type == "audio_dir":
         configs = dataset_config.get("datasets", [])
@@ -524,7 +545,8 @@ def create_dataloader_from_config(
             volume_norm_param=tuple(dataset_config.get("volume_norm_param", (-16, 2))),
         )
         return DataLoader(dataset, batch_size, shuffle=shuffle,
-                          num_workers=num_workers)
+                          num_workers=num_workers,
+                          process_index=_pi, process_count=_pc)
     elif dataset_type == "pre_encoded":
         configs = dataset_config.get("datasets", [])
         dataset = PreEncodedDataset(
@@ -534,7 +556,8 @@ def create_dataloader_from_config(
             latent_crop_length=dataset_config.get("latent_crop_length", None),
         )
         return DataLoader(dataset, batch_size, shuffle=shuffle,
-                          num_workers=num_workers)
+                          num_workers=num_workers,
+                          process_index=_pi, process_count=_pc)
     elif dataset_type in ("wds", "s3", "tar"):
         shard_paths = []
         for ds in dataset_config.get("datasets", []):
@@ -562,12 +585,7 @@ def create_dataloader_from_config(
                 shard_paths.extend(files)
             else:
                 shard_paths.append(path)
-        try:
-            import jax
-
-            pi, pc = jax.process_index(), jax.process_count()
-        except Exception:
-            pi, pc = 0, 1
+        pi, pc = _pi, _pc
         dataset = LocalTarDataset(
             shard_paths,
             sample_size=sample_size,

@@ -116,12 +116,15 @@ def get_preview_tap(model):
 
 def _call_with_mesh(fn, mesh, *args):
     """Trace/execute under the mesh context so bare-PartitionSpec sharding
-    constraints (chunked decode) resolve against it."""
+    constraints (chunked decode) resolve against it, and flag the trace as a
+    mesh program (attention_core then avoids unpartitionable pallas calls)."""
     if mesh is None:
         return fn(*args)
     from jax.sharding import set_mesh
 
-    with set_mesh(mesh):
+    from ..parallel.mesh import mesh_program_context
+
+    with set_mesh(mesh), mesh_program_context():
         return fn(*args)
 
 

@@ -201,6 +201,43 @@ class AudioLanguageModelWrapper(nn.Module):
         return self.pretransform.decode_tokens(tokens)
 
 
+def permute_fused_kernels_to_concat(variables, num_heads: int, dim_heads: int):
+    """Pre-permute the backbone's fused kernels from the TP-friendly
+    interleaved layouts to torch-style concat layouts, ONCE per decode call.
+
+    The KV-cached decode scan is bound by the weight stream plus fixed
+    per-op overheads; strided kernel slices or strided activation unpacks
+    inside the sequential scan measured ~1.5x slower end-to-end. The decode
+    paths of Attention (cache is not None) and FeedForward
+    (concat_kernel=True) therefore read pre-permuted kernels contiguously
+    (ops/attention.py::InterleavedFusedProj, ops/transformer.py::_PairedProj).
+
+    Permutes self_attn/to_qkv ([h][q|k|v][dh] -> [q|k|v]) and
+    ff/linear_in/proj ((x_j, gate_j) pairs -> [x | gate]) on every
+    transformer layer. Cross-attention kernels are untouched (they only run
+    outside the scan, via precomputed KV)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables["params"])
+    qkv_width = 3 * num_heads * dim_heads
+    out = {}
+    for path, w in flat.items():
+        if (path[-2] == "to_qkv" and path[-1] == "kernel"
+                and "self_attn" in path and w.shape[-1] == qkv_width):
+            d = w.shape[0]
+            w = (w.reshape(d, num_heads, 3, dim_heads)
+                 .transpose(0, 2, 1, 3).reshape(d, qkv_width))
+        elif (path[-2] == "proj" and "ff" in path and "linear_in" in path):
+            if path[-1] == "kernel":
+                d, two_inner = w.shape
+                w = (w.reshape(d, two_inner // 2, 2)
+                     .transpose(0, 2, 1).reshape(d, two_inner))
+            elif path[-1] == "bias":
+                w = w.reshape(-1, 2).transpose(1, 0).reshape(-1)
+        out[path] = w
+    return {**variables, "params": traverse_util.unflatten_dict(out)}
+
+
 def _lm_jit_cache(model, key, builder):
     """Per-model cache of jitted LM programs (same scheme as generation.py)."""
     cache = getattr(model, "_lm_gen_jit_cache", None)
@@ -262,15 +299,34 @@ def lm_generate_cached(
     num_heads = backbone.num_heads
     depth = backbone.depth
     cache_dtype = jnp.dtype(getattr(backbone, "compute_dtype", None) or jnp.float32)
-    if cache_dtype != jnp.float32:
-        # AR decode is HBM-bound on the weight stream: cast params ONCE here
-        # (outside the scan) so each step reads half the bytes; a per-step
-        # cast inside the loop would re-read the fp32 weights every token.
-        variables = jax.tree_util.tree_map(
-            lambda x: x.astype(cache_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            variables,
+
+    # Decode-ready variables, cached by identity of the caller's pytree:
+    # (a) params cast to the compute dtype ONCE (the decode scan is HBM-bound
+    # on the weight stream — bf16 halves the bytes; casting per call would
+    # eagerly dispatch hundreds of device ops through the RPC tunnel), and
+    # (b) fused qkv/GLU kernels pre-permuted from the TP-friendly interleaved
+    # layout to concat (~50 ms on TPU — the stride-2 relayouts are slow) so
+    # every decode step reads them contiguously with zero strided ops.
+    prep = getattr(model, "_lm_decode_vars_cache", None)
+    if prep is not None and prep[0] is variables and prep[1] == str(cache_dtype):
+        variables = prep[2]
+    else:
+        def prepare(v):
+            if cache_dtype != jnp.float32:
+                v = jax.tree_util.tree_map(
+                    lambda x: x.astype(cache_dtype)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    v,
+                )
+            return permute_fused_kernels_to_concat(
+                v, num_heads, embed_dim // num_heads
+            )
+        prepared = jax.jit(prepare)(variables)
+        object.__setattr__(
+            model, "_lm_decode_vars_cache",
+            (variables, str(cache_dtype), prepared),
         )
+        variables = prepared
     caches = [
         init_kv_cache(B_eff, num_heads, S, embed_dim // num_heads,
                       dtype=cache_dtype)
@@ -306,6 +362,9 @@ def lm_generate_cached(
         head_b = jnp.concatenate(
             [p_lm[f"quantizer_heads_{i}"]["bias"] for i in range(K)]
         )  # [K*card]
+        # NB: variables arrive decode-prepared (bf16 + concat-permuted fused
+        # kernels, see above); cross-attention kernels are untouched by the
+        # permutation so this kv_only projection still reads interleaved.
         cross_kvs = (
             model.apply(variables, cross, method=model.precompute_cross_kvs)
             if cross is not None else None

@@ -24,6 +24,60 @@ from .embeddings import apply_rotary_pos_emb
 from .norms import DynamicTanh
 
 
+class InterleavedFusedProj(nn.Module):
+    """Fused projection stored head-major INTERLEAVED ([h][part][dh] column
+    order) applied as n_fused separate matmuls against strided PARAM slices.
+
+    The param layout keeps tensor-parallel tiled shardings aligned (any shard
+    count dividing the head count lands every part boundary on a shard
+    boundary; see docs/multichip.md), while slicing the *kernel* instead of
+    the activation makes the per-step program shuffle-free: the slices are
+    loop-invariant (hoisted out of the sampler scan by XLA) and shard-local
+    under TP (each device's shard holds its own heads' q/k/v columns), and
+    each matmul emits a contiguous [B, N, D] part.
+
+    Exception — KV-cached AR decode (N=1): the decode scan is bound by the
+    WEIGHT stream and by fixed per-op overheads (both strided kernel slices
+    and strided activation unpacks inside the sequential scan measured
+    ~1.5-1.8x slower end-to-end). There the caller pre-permutes the kernel
+    to the torch-style CONCAT layout ONCE outside the scan
+    (models/lm.py::permute_fused_kernels_to_concat) and passes
+    `concat_kernel=True`: one contiguous weight read + contiguous splits,
+    zero strided ops per step."""
+
+    features: int  # total fused output width
+    n_fused: int
+    dim_heads: int
+
+    @nn.compact
+    def __call__(self, x, concat_kernel: bool = False):
+        din = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (din, self.features),
+            jnp.float32,
+        )
+        heads = self.features // (self.n_fused * self.dim_heads)
+        if concat_kernel:
+            # kernel has been pre-permuted to [q|k|v] concat layout by the
+            # caller: contiguous read, contiguous split
+            proj = x @ kernel.astype(x.dtype)
+            return list(jnp.split(proj, self.n_fused, axis=-1))
+        if x.shape[-2] <= 16:
+            proj = x @ kernel.astype(x.dtype)  # one contiguous weight read
+            b, n = proj.shape[:-1]
+            p5 = proj.reshape(b, n, heads, self.n_fused, self.dim_heads)
+            return [
+                p5[:, :, :, j, :].reshape(b, n, heads * self.dim_heads)
+                for j in range(self.n_fused)
+            ]
+        k4 = kernel.reshape(din, heads, self.n_fused, self.dim_heads)
+        parts = []
+        for j in range(self.n_fused):
+            wj = k4[:, :, j, :].reshape(din, heads * self.dim_heads)
+            parts.append(x @ wj.astype(x.dtype))
+        return parts
+
+
 def _build_bias(
     q_len: int,
     k_len: int,
@@ -109,6 +163,12 @@ def _should_use_pallas(q, k, mask) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
+    from ..parallel.mesh import in_mesh_program
+
+    if in_mesh_program():
+        # GSPMD can't partition pallas custom-calls; the XLA path shards
+        # cleanly over the head axis in TP programs
+        return False
     # Flash pays off for long self-attention; small/cross attention is fine in XLA.
     return q.shape[-2] >= 512 and q.shape[-2] == k.shape[-2] and q.shape[-1] in (64, 128)
 
@@ -155,6 +215,39 @@ class Attention(nn.Module):
     differential: bool = False
     feat_scale: bool = False
 
+    def _can_use_fused_kernel(self, x, rotary_pos_emb, mask, cache, context):
+        """Fused-qkv pallas path: self-attention, long block-divisible seq,
+        no qk-norm, single-chip program (pallas custom-calls don't partition
+        under GSPMD)."""
+        if (cache is not None or mask is not None or context is not None
+                or self.qk_norm != "none"):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from ..parallel.mesh import in_mesh_program
+
+        if in_mesh_program():
+            return False
+        n = x.shape[-2]
+        if n < 512 or n % 512 != 0 or self.dim_heads not in (64, 128):
+            return False
+        if rotary_pos_emb is not None and rotary_pos_emb.shape[0] > n:
+            return False
+        return True
+
+    def _apply_feat_scale(self, out):
+        if not self.feat_scale:
+            return out
+        dim = self.dim
+        lambda_dc = self.param("lambda_dc", nn.initializers.zeros, (dim,),
+                               jnp.float32)
+        lambda_hf = self.param("lambda_hf", nn.initializers.zeros, (dim,),
+                               jnp.float32)
+        out_dc = jnp.mean(out, axis=-2, keepdims=True)
+        out_hf = out - out_dc
+        return (out + lambda_dc.astype(out.dtype) * out_dc
+                + lambda_hf.astype(out.dtype) * out_hf)
+
     @nn.compact
     def __call__(
         self,
@@ -188,11 +281,12 @@ class Attention(nn.Module):
             # dominates decode FLOPs for long contexts). qk-norm is applied
             # here so the main path can use the tensors verbatim.
             assert self.dim_context is not None and not self.differential
-            kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)
-            b, n, _ = kv_proj.shape
-            kv = kv_proj.reshape(b, n, kv_h, 2, self.dim_heads)
-            k = kv[..., 0, :].transpose(0, 2, 1, 3)
-            v = kv[..., 1, :].transpose(0, 2, 1, 3)
+            k, v = InterleavedFusedProj(
+                dim_kv * 2, 2, self.dim_heads, name="to_kv"
+            )(kv_input)
+            b, n, _ = k.shape
+            k = k.reshape(b, n, kv_h, self.dim_heads).transpose(0, 2, 1, 3)
+            v = v.reshape(b, n, kv_h, self.dim_heads).transpose(0, 2, 1, 3)
             if self.qk_norm == "l2":
                 k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
             elif self.qk_norm == "ln":
@@ -238,35 +332,42 @@ class Attention(nn.Module):
         # lands every q/k/v boundary on a shard boundary for any shard count
         # dividing the head count — zero collectives where the torch-style
         # [q|k|v] concat layout forces GSPMD to reshard every layer. The
-        # torch checkpoint importer (io/torch_mapping.py) permutes between
-        # the layouts. Differential attention keeps the concat layout.
+        # per-part matmuls run against strided PARAM slices (hoisted,
+        # shard-local — see InterleavedFusedProj) so the activations stay
+        # contiguous and the per-step program is shuffle-free. The torch
+        # checkpoint importer (io/torch_mapping.py) permutes between the
+        # layouts. Differential attention keeps the concat layout.
         if self.dim_context is not None:
             q_proj = dense(dim * n_q, "to_q")(x)
-            kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)
             if self.differential:
+                kv_proj = dense(dim_kv * n_kv, "to_kv")(kv_input)
                 q, q_diff = jnp.split(q_proj, n_q, axis=-1)
                 k, k_diff, v = jnp.split(kv_proj, n_kv, axis=-1)
             else:
                 q = q_proj
-                b, m, _ = kv_proj.shape
-                kv = kv_proj.reshape(b, m, kv_h, 2, self.dim_heads)
-                k, v = kv[..., 0, :], kv[..., 1, :]  # [B, M, kv_h, dh]
+                k, v = InterleavedFusedProj(
+                    dim_kv * 2, 2, self.dim_heads, name="to_kv"
+                )(kv_input)
                 q_diff = k_diff = None
         else:
-            qkv = dense(dim * (5 if self.differential else 3), "to_qkv")(x)
             if self.differential:
+                qkv = dense(dim * 5, "to_qkv")(x)
                 q, k, v, q_diff, k_diff = jnp.split(qkv, 5, axis=-1)
             else:
-                b, n_, _ = qkv.shape
-                qkv = qkv.reshape(b, n_, h, 3, self.dim_heads)
-                q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+                # cache path (AR decode): the decode runner pre-permutes
+                # to_qkv to the concat layout outside the scan (see
+                # models/lm.py::permute_fused_kernels_to_concat) so every
+                # step is one contiguous weight read + contiguous splits
+                q, k, v = InterleavedFusedProj(
+                    dim * 3, 3, self.dim_heads, name="to_qkv"
+                )(x, concat_kernel=cache is not None)
                 q_diff = k_diff = None
 
         def split_heads(t, nh):
+            if t.ndim == 4:  # already [B, H, N, dh] from the fused paths
+                return t
             b, n = t.shape[:2]
-            if t.ndim == 3:
-                t = t.reshape(b, n, nh, self.dim_heads)
-            return t.transpose(0, 2, 1, 3)
+            return t.reshape(b, n, nh, self.dim_heads).transpose(0, 2, 1, 3)
 
         q = split_heads(q, h)
         k = split_heads(k, kv_h)
@@ -354,12 +455,4 @@ class Attention(nn.Module):
             else nn.initializers.lecun_normal(),
         )
         out = out_proj(out)
-
-        if self.feat_scale:
-            lambda_dc = self.param("lambda_dc", nn.initializers.zeros, (dim,), jnp.float32)
-            lambda_hf = self.param("lambda_hf", nn.initializers.zeros, (dim,), jnp.float32)
-            out_dc = jnp.mean(out, axis=-2, keepdims=True)
-            out_hf = out - out_dc
-            out = out + lambda_dc.astype(out.dtype) * out_dc + lambda_hf.astype(out.dtype) * out_hf
-
-        return out
+        return self._apply_feat_scale(out)

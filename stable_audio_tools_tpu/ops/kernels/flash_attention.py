@@ -462,3 +462,172 @@ def _bwd(causal, window, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-QKV entry: attention straight off the interleaved projection output
+# ---------------------------------------------------------------------------
+#
+# The TP-friendly fused projection layout ([B, N, H, 3, dh], see
+# ops/attention.py) would need a physical shuffle to produce contiguous
+# q/k/v tensors for the standard kernel (pallas call boundaries materialize
+# their inputs). Instead the kernel's BlockSpec index maps read q/k/v blocks
+# directly out of the fused tensor — zero rearrangement passes — and apply
+# the (partial, half-split) rotary embedding in-kernel in fp32.
+
+
+def _flash_fused_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, cos_ref, sin_ref,
+                        o_ref, lse_ref, *, block_q, block_k, seq_len, causal,
+                        w_left, w_right, scale, rot_dim, no_mask=False):
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+
+    def rope(t, start, rows):
+        if rot_dim == 0:
+            return t
+        c = cos_ref[pl.ds(start, rows), :]
+        s = sin_ref[pl.ds(start, rows), :]
+        tf = t.astype(jnp.float32)
+        t_rot, t_pass = tf[:, :rot_dim], tf[:, rot_dim:]
+        h1, h2 = t_rot[:, : rot_dim // 2], t_rot[:, rot_dim // 2:]
+        rotated = jnp.concatenate([-h2, h1], axis=-1)
+        t_rot = t_rot * c + rotated * s
+        return jnp.concatenate([t_rot, t_pass], axis=-1).astype(t.dtype)
+
+    q = rope(qkv_q_ref[0, :, 0, 0, :], q_start, block_q)  # [block_q, dh]
+    D = q.shape[-1]
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = rope(qkv_k_ref[0, pl.ds(kb * block_k, block_k), 0, 0, :],
+                     kb * block_k, block_k)
+        v_blk = qkv_v_ref[0, pl.ds(kb * block_k, block_k), 0, 0, :]
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        if not no_mask:
+            mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
+                             causal, w_left, w_right)
+            logits = jnp.where(mask, logits, NEG_INF)
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    banded, lo, n_vis, hi = _q_visible_range(
+        qi, block_q, block_k, seq_len, causal, w_left, w_right
+    )
+    if banded:
+        acc, m, l = jax.lax.fori_loop(
+            0, n_vis, lambda i, c: body(lo + i, c), (acc0, m0, l0)
+        )
+    else:
+        acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
+
+
+def _fused_forward(qkv, cos, sin, causal, window, block_q=512, block_k=512):
+    B, N, H, three, D = qkv.shape
+    assert three == 3
+    scale = 1.0 / math.sqrt(D)
+    w_left, w_right = (-1, -1) if window is None else window
+    block_q, block_k, N_pad = _pick_blocks(N, causal, w_left, w_right,
+                                           block_q, block_k)
+    assert N_pad == N, "fused path requires block-divisible sequence lengths"
+    rot_dim = 0 if cos is None else cos.shape[-1]
+    if cos is None:
+        cos = jnp.zeros((N, 1), jnp.float32)
+        sin = jnp.zeros((N, 1), jnp.float32)
+    no_mask = (not causal) and w_left < 0 and w_right < 0
+
+    kernel = functools.partial(
+        _flash_fused_kernel, block_q=block_q, block_k=block_k, seq_len=N,
+        causal=causal, w_left=w_left, w_right=w_right, scale=scale,
+        rot_dim=rot_dim, no_mask=no_mask,
+    )
+    qspec = pl.BlockSpec((1, block_q, 1, 1, D), lambda b, h, i: (b, i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, N, 1, 1, D), lambda b, h, i: (b, 0, h, 1, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, N, 1, 1, D), lambda b, h, i: (b, 0, h, 2, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(cos.shape, lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, H, N // block_q),
+        in_specs=[qspec, kspec, vspec, tspec, tspec],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, N, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkv, qkv, qkv, cos, sin)
+    return out, lse.reshape(B * H, N, 1)
+
+
+def _fused_unpack_rope(qkv, cos, sin):
+    """Reference unpack+rope (pure jax) — used only for the backward."""
+    q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, dh]
+    k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
+    if cos is not None:
+        rot = cos.shape[-1]
+
+        def rope(t):
+            tf = t.astype(jnp.float32)
+            t_rot, t_pass = tf[..., :rot], tf[..., rot:]
+            h1, h2 = t_rot[..., : rot // 2], t_rot[..., rot // 2:]
+            rotated = jnp.concatenate([-h2, h1], axis=-1)
+            t_rot = t_rot * cos + rotated * sin
+            return jnp.concatenate([t_rot, t_pass], axis=-1).astype(t.dtype)
+
+        q, k = rope(q), rope(k)
+    return q, k, v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_fused_qkv(qkv, cos, sin, causal: bool = False,
+                              window: Optional[Tuple[int, int]] = None):
+    """qkv: [B, N, H, 3, dh] interleaved fused projection; cos/sin: [N, rot]
+    rotary tables (or None). Returns [B, H, N, dh]."""
+    out, _ = _fused_forward(qkv, cos, sin, causal, window)
+    return out
+
+
+def _fused_fwd(qkv, cos, sin, causal, window):
+    out, lse = _fused_forward(qkv, cos, sin, causal, window)
+    return out, (qkv, cos, sin, out, lse)
+
+
+def _fused_bwd(causal, window, res, g):
+    qkv, cos, sin, out, lse = res
+    # cheap elementwise unpack+rope re-run; the heavy matmul backward reuses
+    # the fused single-pass kernel on the unpacked tensors
+    if cos is None:
+        (q, k, v), vjp_unpack = jax.vjp(
+            lambda qkv: _fused_unpack_rope(qkv, None, None), qkv
+        )
+        dq, dk, dv = _flash_backward(q, k, v, out, lse, g, causal, window)
+        (dqkv,) = vjp_unpack((dq, dk, dv))
+        return dqkv, None, None
+    (q, k, v), vjp_unpack = jax.vjp(_fused_unpack_rope, qkv, cos, sin)
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g, causal, window)
+    return vjp_unpack((dq, dk, dv))
+
+
+flash_attention_fused_qkv.defvjp(_fused_fwd, _fused_bwd)

@@ -41,11 +41,39 @@ class GLU(nn.Module):
     dim_out: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        proj = nn.Dense(self.dim_out * 2, name="proj", dtype=x.dtype, param_dtype=jnp.float32)(x)
-        proj = proj.reshape(*proj.shape[:-1], self.dim_out, 2)
-        x, gate = proj[..., 0], proj[..., 1]
-        return x * jax.nn.silu(gate)
+    def __call__(self, x: jax.Array, concat_kernel: bool = False) -> jax.Array:
+        xx, gate = _PairedProj(self.dim_out, name="proj")(x, concat_kernel)
+        return xx * jax.nn.silu(gate)
+
+
+class _PairedProj(nn.Module):
+    """Pairwise-interleaved fused projection applied as two matmuls against
+    strided PARAM slices: the slices are loop-invariant (hoisted out of
+    sampler scans) and shard-local under TP, so activations stay contiguous
+    with zero per-step shuffles. Param layout (x_0, g_0, x_1, g_1, ...) —
+    same path names as the nn.Dense it replaces (kernel/bias)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, concat_kernel: bool = False):
+        din = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (din, self.dim_out * 2), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.dim_out * 2,), jnp.float32)
+        if concat_kernel:
+            # KV-cached decode: kernel pre-permuted to [x | gate] concat
+            # layout outside the scan (models/lm.py) — one contiguous weight
+            # read + contiguous split; strided ops inside the sequential
+            # decode scan measured ~1.5x slower end-to-end.
+            proj = x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+            return tuple(jnp.split(proj, 2, axis=-1))
+        k3 = kernel.reshape(din, self.dim_out, 2)
+        b2 = bias.reshape(self.dim_out, 2)
+        xx = x @ k3[..., 0].astype(x.dtype) + b2[:, 0].astype(x.dtype)
+        gate = x @ k3[..., 1].astype(x.dtype) + b2[:, 1].astype(x.dtype)
+        return xx, gate
 
 
 class FeedForward(nn.Module):
@@ -57,11 +85,11 @@ class FeedForward(nn.Module):
     zero_init_output: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, concat_kernel: bool = False) -> jax.Array:
         inner_dim = int(self.dim * self.mult)
         dim_out = self.dim_out if self.dim_out is not None else self.dim
         if self.glu:
-            x = GLU(inner_dim, name="linear_in")(x)
+            x = GLU(inner_dim, name="linear_in")(x, concat_kernel)
         else:
             x = nn.Dense(
                 inner_dim, use_bias=not self.no_bias, name="linear_in",
@@ -214,7 +242,7 @@ class TransformerBlock(nn.Module):
                     cross_attn(cross_norm(x), context=context, mask=context_mask,
                                precomputed_kv=cross_kv)
                 )
-            x = x + ff_scale(ff(ff_norm(x)))
+            x = x + ff_scale(ff(ff_norm(x), concat_kernel=True))
             return x, new_cache
 
         use_adaln = (

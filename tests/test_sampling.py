@@ -120,3 +120,34 @@ def test_timestep_samplers():
 def test_v_ddim_with_eta():
     out = S.sample(ideal_v_model, NOISE, steps=50, eta=0.5, rng=jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(out), X0, atol=0.1)
+
+
+def test_k_dpm_adaptive_matches_dense_reference_on_gaussian():
+    """Validate the adaptive sampler's trajectories on a NON-toy model: an
+    anisotropic Gaussian data distribution (state-dependent analytic
+    denoiser). Both the PI-controlled adaptive solver and a converged
+    500-step dpmpp-2m solve the same probability-flow ODE from the same
+    noise, so their endpoints must agree."""
+    mu = np.array([[0.5, -1.0, 2.0, 0.0]], np.float32)
+    s2 = np.array([[0.2, 1.0, 3.0, 0.05]], np.float32)  # per-dim variance
+
+    def gaussian_v_model(x, t, **kwargs):
+        alpha = jnp.cos(t * math.pi / 2).reshape(-1, 1)
+        sigma = jnp.sin(t * math.pi / 2).reshape(-1, 1)
+        # posterior mean E[x0|x_t] for x0 ~ N(mu, diag(s2))
+        m = jnp.asarray(mu)
+        v = jnp.asarray(s2)
+        x0_hat = m + alpha * v * (x - alpha * m) / (alpha ** 2 * v + sigma ** 2)
+        return (alpha * x - x0_hat) / jnp.maximum(sigma, 1e-8)
+
+    noise = jnp.asarray(np.random.RandomState(3).randn(4, 4).astype(np.float32))
+    ref = S.sample_k(
+        gaussian_v_model, noise, steps=500, sampler_type="dpmpp-2m",
+        sigma_min=0.01, sigma_max=80.0, rho=1.0, rng=jax.random.PRNGKey(0),
+    )
+    ada = S.sample_k(
+        gaussian_v_model, noise, steps=50, sampler_type="k-dpm-adaptive",
+        sigma_min=0.01, sigma_max=80.0, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(ada), np.asarray(ref),
+                               rtol=0.02, atol=0.02)
