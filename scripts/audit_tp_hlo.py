@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--tp", type=int, default=8)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--sp", action="store_true",
+                    help="enable sequence-parallel residual constraints "
+                         "(opt-in; see docs/multichip.md for why it is off "
+                         "by default) for A/B against the plain-TP pattern")
     ap.add_argument("--dump", type=str, default=None,
                     help="write full HLO text here")
     args = ap.parse_args()
@@ -71,7 +75,15 @@ def main():
         return model.apply(variables, x, t, cross_attn_cond=cross,
                            global_embed=glob)
 
-    lowered = jax.jit(step).lower(variables, x, t, cross, glob)
+    # trace like inference/generation.py::_call_with_mesh; --sp additionally
+    # enables the sequence-parallel residual constraints
+    # (parallel/mesh.py::seq_shard_constraint)
+    from jax.sharding import set_mesh
+
+    from stable_audio_tools_tpu.parallel.mesh import mesh_program_context
+
+    with set_mesh(mesh), mesh_program_context(mesh, sequence_parallel=args.sp):
+        lowered = jax.jit(step).lower(variables, x, t, cross, glob)
     compiled = lowered.compile()
     hlo = compiled.as_text()
     if args.dump:

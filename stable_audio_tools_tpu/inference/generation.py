@@ -124,7 +124,7 @@ def _call_with_mesh(fn, mesh, *args):
 
     from ..parallel.mesh import mesh_program_context
 
-    with set_mesh(mesh), mesh_program_context():
+    with set_mesh(mesh), mesh_program_context(mesh):
         return fn(*args)
 
 

@@ -245,6 +245,15 @@ class TransformerBlock(nn.Module):
             x = x + ff_scale(ff(ff_norm(x), concat_kernel=True))
             return x, new_cache
 
+        # Sequence parallelism under TP mesh programs: constrain the residual
+        # stream's seq axis onto the 'model' axis at block entry. GSPMD then
+        # runs the norms/adds 1/tp-sharded and lowers the out-projection
+        # all-reduce as reduce-scatter + all-gather (parallel/mesh.py).
+        # No-op on single-chip traces.
+        from ..parallel.mesh import seq_shard_constraint
+
+        x = seq_shard_constraint(x)
+
         use_adaln = (
             self.global_cond_dim is not None
             and self.global_cond_dim > 0

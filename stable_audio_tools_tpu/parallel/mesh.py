@@ -21,23 +21,62 @@ _MESH_CTX = threading.local()
 
 
 @contextlib.contextmanager
-def mesh_program_context():
+def mesh_program_context(mesh: tp.Optional[Mesh] = None,
+                         sequence_parallel: bool = False):
     """Marks that the current trace targets a multi-chip GSPMD program.
 
     Pallas kernels lower to custom-calls that GSPMD cannot partition (they
     would force full replication of sharded operands), so attention_core
     consults this flag and uses the XLA path — which partitions cleanly over
-    head-sharded inputs — whenever a mesh program is being built."""
+    head-sharded inputs — whenever a mesh program is being built.
+
+    sequence_parallel=True (needs the mesh, with a >1 'model' axis)
+    additionally enables Megatron-SP residual-stream constraints
+    (seq_shard_constraint). OFF by default: at SA-Open scale the measured
+    compiled HLO shows GSPMD degenerating to weight-scale all-gathers under
+    the naive block-boundary constraint (docs/multichip.md §Sequence
+    parallelism) — opt in only after auditing with scripts/audit_tp_hlo.py."""
     prev = getattr(_MESH_CTX, "active", False)
+    prev_axes = getattr(_MESH_CTX, "axes", {})
+    prev_sp = getattr(_MESH_CTX, "sp", False)
     _MESH_CTX.active = True
+    _MESH_CTX.axes = dict(mesh.shape) if mesh is not None else {}
+    _MESH_CTX.sp = bool(sequence_parallel)
     try:
         yield
     finally:
         _MESH_CTX.active = prev
+        _MESH_CTX.axes = prev_axes
+        _MESH_CTX.sp = prev_sp
 
 
 def in_mesh_program() -> bool:
     return getattr(_MESH_CTX, "active", False)
+
+
+def seq_shard_constraint(x):
+    """Megatron-style sequence parallelism via GSPMD: constrain a [B, N, D]
+    residual-stream activation's sequence axis onto the 'model' mesh axis.
+
+    Applied at transformer-block boundaries (ops/transformer.py) under
+    `mesh_program_context(mesh, sequence_parallel=True)`, this makes GSPMD
+    (a) run norms/residual-adds/elementwise ops 1/tp-sharded instead of
+    replicated on every TP shard, and (b) reshard activations (all-gather /
+    all-to-all) instead of all-reducing each block's out-projection.
+    Measured trade-off in scripts/audit_tp_hlo.py --small vs --no-sp:
+    -3% FLOPs and ~17% fewer wire bytes at 512x2 scale, but at the full
+    SA-Open 24x1536 scale GSPMD degenerates (303 all-gathers, 2.4 GB/step
+    vs 1.42 GB plain TP) — hence opt-in, not default. No-op outside mesh
+    programs or when the mesh has no >1 'model' axis."""
+    if not (in_mesh_program() and getattr(_MESH_CTX, "sp", False)):
+        return x
+    axes = getattr(_MESH_CTX, "axes", {})
+    if axes.get("model", 1) <= 1 or x.ndim != 3:
+        return x
+    from jax.sharding import PartitionSpec
+    return jax.lax.with_sharding_constraint(
+        x, PartitionSpec(None, "model", None)
+    )
 
 
 def create_mesh(data: tp.Optional[int] = None, model: int = 1,

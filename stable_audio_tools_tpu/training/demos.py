@@ -207,3 +207,43 @@ class AutoencoderDemoCallback(_DemoBase):
         recon = model.apply(variables, latents, method=model.decode)
         self._save(np.asarray(recon), "recon", step, latents=np.asarray(latents))
         self._save(np.asarray(audio), "real", step)
+        self._disc_sensitivity_probe(wrapper, state, jnp.asarray(audio), recon,
+                                     step)
+
+    def _disc_sensitivity_probe(self, wrapper, state, reals, fakes, step: int):
+        """Discriminator sensitivity spectrogram (reference
+        training/autoencoders.py:597-611 retain_grad probe): |d(adv+fm gen
+        loss)/d(fake audio)| rendered as a mel spectrogram shows which
+        time-frequency regions the discriminator currently pushes the
+        generator on."""
+        disc = getattr(wrapper, "discriminator", None)
+        disc_params = getattr(state, "disc_params", None)
+        if disc is None or disc_params is None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        def gen_signal(fakes):
+            _, adv, fm = disc.apply(
+                {"params": disc_params}, reals, fakes, method=disc.loss
+            )
+            return adv + fm
+
+        g = np.abs(np.asarray(jax.grad(gen_signal)(fakes)))
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+
+            from ..interface.aeiou import audio_spectrogram_image
+
+            img = audio_spectrogram_image(g[0], self.sample_rate)
+            plt.imsave(os.path.join(
+                self.demo_dir, f"disc_sensitivity_step{step}.png"), img)
+            if self.logger is not None:
+                from .utils import log_image
+
+                log_image(self.logger, "demo/disc_sensitivity", img, step=step)
+        except Exception:
+            pass

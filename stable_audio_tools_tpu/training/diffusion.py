@@ -43,9 +43,32 @@ class TrainState(struct.PyTreeNode):
     quantizer_state: tp.Optional[tp.Any] = None
 
 
-def _sample_timesteps(rng, batch_size, sampler: str, options: dict):
+def _sobol_timesteps(step, batch_size):
+    """Dimension-1 Sobol = base-2 radical inverse (bit reversal) of a global
+    counter, continued across train steps — the reference draws uncond
+    timesteps from torch.quasirandom.SobolEngine(1) the same way
+    (training/diffusion.py:60,96). jit-friendly: pure bit ops on step*B+i."""
+    c = lambda v: jnp.uint32(v)
+    idx = (jnp.asarray(step).astype(jnp.uint32) * jnp.uint32(batch_size)
+           + jnp.arange(batch_size, dtype=jnp.uint32))
+    idx = ((idx & c(0x55555555)) << 1) | ((idx & c(0xAAAAAAAA)) >> 1)
+    idx = ((idx & c(0x33333333)) << 2) | ((idx & c(0xCCCCCCCC)) >> 2)
+    idx = ((idx & c(0x0F0F0F0F)) << 4) | ((idx & c(0xF0F0F0F0)) >> 4)
+    idx = ((idx & c(0x00FF00FF)) << 8) | ((idx & c(0xFF00FF00)) >> 8)
+    idx = (idx << 16) | (idx >> 16)
+    return idx.astype(jnp.float32) * (2.0 ** -32)
+
+
+def _sample_timesteps(rng, batch_size, sampler: str, options: dict, step=None):
     if sampler == "uniform":
         return jax.random.uniform(rng, (batch_size,))
+    if sampler == "sobol":
+        if step is not None:
+            return _sobol_timesteps(step, batch_size)
+        # stateless fallback: stratified jitter (same variance reduction)
+        u = jax.random.uniform(rng, (batch_size,))
+        strata = (jnp.arange(batch_size) + u) / batch_size
+        return jax.random.permutation(jax.random.fold_in(rng, 1), strata)
     if sampler == "logit_normal":
         return jax.nn.sigmoid(jax.random.normal(rng, (batch_size,)))
     if sampler == "trunc_logit_normal":
@@ -128,7 +151,7 @@ class DiffusionCondTrainer:
 
     # -- core loss --------------------------------------------------------
 
-    def _loss_and_info(self, params, batch, rng, train=True):
+    def _loss_and_info(self, params, batch, rng, train=True, step=None):
         model = self.model
         reals = batch["audio"]
         prepared_cond = batch.get("prepared_cond")
@@ -159,7 +182,7 @@ class DiffusionCondTrainer:
         B = diffusion_input.shape[0]
         t_rng = jax.random.fold_in(rng, 2)
         t = _sample_timesteps(t_rng, B, self.timestep_sampler,
-                              self.timestep_sampler_options)
+                              self.timestep_sampler_options, step=step)
         if self.dist_shift is not None:
             t = self.dist_shift.time_shift(t, diffusion_input.shape[2])
         if self.p_one_shot > 0:
@@ -224,10 +247,10 @@ class DiffusionCondTrainer:
     def make_train_step(self, accum_steps: int = 1):
         opt = self.optimizer
 
-        def single_grads(params, batch, rng):
+        def single_grads(params, batch, rng, step=None):
             (loss, aux), grads = jax.value_and_grad(
                 self._loss_and_info, has_aux=True
-            )(params, batch, rng)
+            )(params, batch, rng, True, step)
             return grads, aux
 
         def train_step(state: TrainState, batch, rng):
@@ -235,7 +258,7 @@ class DiffusionCondTrainer:
                 # microbatch accumulation via lax.scan over the split batch
                 def micro(acc_grads, mb):
                     g, aux = single_grads(
-                        state.params, mb["batch"], mb["rng"]
+                        state.params, mb["batch"], mb["rng"], state.step
                     )
                     return jax.tree_util.tree_map(jnp.add, acc_grads, g), aux
 
@@ -250,7 +273,7 @@ class DiffusionCondTrainer:
                 grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
                 aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
             else:
-                grads, aux = single_grads(state.params, batch, rng)
+                grads, aux = single_grads(state.params, batch, rng, state.step)
 
             updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -394,10 +417,10 @@ class DiffusionUncondTrainer(DiffusionCondTrainer):
         super().__init__(
             model, lr=lr, use_ema=use_ema, optimizer_configs=optimizer_configs,
             pre_encoded=pre_encoded, cfg_dropout_prob=0.0,
-            timestep_sampler="uniform", **kwargs,
+            timestep_sampler="sobol", **kwargs,
         )
 
-    def _loss_and_info(self, params, batch, rng, train=True):
+    def _loss_and_info(self, params, batch, rng, train=True, step=None):
         model = self.model
         reals = batch["audio"]
         variables = {"params": params}
@@ -409,7 +432,11 @@ class DiffusionUncondTrainer(DiffusionCondTrainer):
                 rngs=rngs,
             )
         B = diffusion_input.shape[0]
-        t = jax.random.uniform(jax.random.fold_in(rng, 2), (B,))
+        # Sobol low-discrepancy t continued across steps (reference
+        # training/diffusion.py:60,96 SobolEngine); stratified fallback
+        t = _sample_timesteps(jax.random.fold_in(rng, 2), B,
+                              self.timestep_sampler,
+                              self.timestep_sampler_options, step=step)
         alphas, sigmas = get_alphas_sigmas(t)
         alphas, sigmas = alphas[:, None, None], sigmas[:, None, None]
         noise = jax.random.normal(jax.random.fold_in(rng, 4),

@@ -154,7 +154,7 @@ class Trainer:
                     # (GSPMD-partitionable) over pallas for sharded programs
                     from ..parallel.mesh import mesh_program_context
 
-                    with mesh_program_context():
+                    with mesh_program_context(self.mesh):
                         if is_gan:
                             state, aux = wrapper.train_step(
                                 state, batch["audio"], step_rng, step

@@ -110,3 +110,26 @@ def test_export_params_uses_ema(ae_trainer):
     assert jax.tree_util.tree_structure(exported) == jax.tree_util.tree_structure(
         state.gen_params
     )
+
+
+def test_ae_demo_callback_disc_sensitivity(ae_trainer, tmp_path):
+    """AE demo callback logs recon/real + the discriminator-sensitivity
+    spectrogram (reference training/autoencoders.py:597-611 probe)."""
+    import glob
+
+    from stable_audio_tools_tpu.training.demos import AutoencoderDemoCallback
+
+    trainer, state, audio = ae_trainer
+    model = trainer.autoencoder
+
+    class OneBatchLoader:
+        def __iter__(self):
+            yield np.asarray(audio), [{} for _ in range(audio.shape[0])]
+
+    cb = AutoencoderDemoCallback(
+        AE_TRAIN_CONFIG, str(tmp_path), {"demo_every": 1}, OneBatchLoader()
+    )
+    cb(model, trainer, state, step=1)
+    assert glob.glob(str(tmp_path / "recon_step1_*.wav"))
+    assert glob.glob(str(tmp_path / "real_step1_*.wav"))
+    assert (tmp_path / "disc_sensitivity_step1.png").exists()

@@ -161,3 +161,37 @@ def test_chunked_codec_sharded_chunks_match_sequential():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_enc), np.asarray(ref_enc),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sequence_parallel_tp_matches_plain():
+    """Opt-in sequence parallelism (seq_shard_constraint at block entry)
+    must be numerically identical to the plain-TP program."""
+    from jax.sharding import set_mesh
+
+    from stable_audio_tools_tpu.models.dit import DiffusionTransformer
+    from stable_audio_tools_tpu.parallel.mesh import (
+        DIT_TP_RULES, mesh_program_context, tp_param_sharding,
+    )
+
+    dit = DiffusionTransformer(
+        io_channels=4, embed_dim=64, depth=2, num_heads=4,
+        cond_token_dim=32, project_cond_tokens=False,
+    )
+    B, seq = 2, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 4, seq))
+    t = jnp.full((B,), 0.5)
+    cross = jax.random.normal(jax.random.PRNGKey(1), (B, 10, 32))
+    variables = dit.init(jax.random.PRNGKey(2), x, t, cross_attn_cond=cross)
+
+    ref = dit.apply(variables, x, t, cross_attn_cond=cross)
+
+    mesh = create_mesh(data=2, model=4)
+    svars = jax.device_put(
+        variables, tp_param_sharding(variables, mesh, DIT_TP_RULES)
+    )
+    with set_mesh(mesh), mesh_program_context(mesh, sequence_parallel=True):
+        out = jax.jit(
+            lambda v, x, t, c: dit.apply(v, x, t, cross_attn_cond=c)
+        )(svars, x, t, cross)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -162,3 +162,24 @@ def test_dp_mesh_training_with_zero_sharding(trainer_setup):
     leaves = jax.tree_util.tree_leaves(state.opt_state)
     arr = next(l for l in leaves if hasattr(l, "sharding") and l.ndim >= 1)
     assert not arr.sharding.is_fully_replicated or arr.shape[0] % 8 != 0
+
+
+def test_sobol_timesteps_low_discrepancy():
+    """Uncond trainer draws Sobol (van der Corput) timesteps continued across
+    steps (reference training/diffusion.py:60,96 SobolEngine): the first 8
+    values are the exact base-2 radical inverse sequence, and 256 consecutive
+    draws stratify [0,1) to a 1/256 max gap."""
+    import numpy as np
+    from stable_audio_tools_tpu.training.diffusion import (
+        _sample_timesteps, _sobol_timesteps,
+    )
+
+    t0 = np.asarray(_sobol_timesteps(jnp.int32(0), 8))
+    np.testing.assert_allclose(
+        t0, [0, .5, .25, .75, .125, .625, .375, .875])
+    t = np.sort(np.concatenate(
+        [np.asarray(_sobol_timesteps(jnp.int32(s), 8)) for s in range(32)]))
+    assert np.max(np.diff(t)) <= 1 / 256 + 1e-9
+    # stateless fallback stratifies each batch
+    s = _sample_timesteps(jax.random.PRNGKey(0), 8, "sobol", {}, step=None)
+    assert np.max(np.diff(np.sort(np.asarray(s)))) < 2 / 8
