@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--cfg", type=float, default=3.0)
     ap.add_argument("--cond-len", type=int, default=128)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight-only decode (weight_quant='int8')")
     args = ap.parse_args()
 
     from stable_audio_tools_tpu.models.lm import (
@@ -64,6 +66,7 @@ def main():
             model, variables, conditioning_tensors=cond,
             max_gen_len=args.tokens, cfg_scale=args.cfg,
             rng=jax.random.PRNGKey(1),
+            weight_quant="int8" if args.int8 else None,
         )
         jax.block_until_ready(out)
         return out

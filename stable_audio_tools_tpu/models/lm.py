@@ -238,6 +238,45 @@ def permute_fused_kernels_to_concat(variables, num_heads: int, dim_heads: int):
     return {**variables, "params": traverse_util.unflatten_dict(out)}
 
 
+def quantize_decode_kernels_int8(variables):
+    """Opt-in int8 weight-only quantization of the per-step decode kernels.
+
+    The KV-cached decode scan is HBM-bound on the weight stream; storing the
+    backbone's per-step matmul kernels as per-output-channel symmetric int8
+    (+ a `kernel_scale` sibling consumed by QuantizableDense /
+    InterleavedFusedProj / _PairedProj) halves the bytes read per token.
+    Applied AFTER permute_fused_kernels_to_concat, only to kernels the scan
+    actually reads each step: self_attn to_qkv/to_out, cross_attn to_q/
+    to_out, ff GLU proj / linear_in / linear_out. Cross-attention to_kv is
+    left untouched (projected once outside the scan, and its consumer does
+    not read scales)."""
+    from flax import traverse_util
+
+    from ..ops.attention import quantize_kernel_int8
+
+    flat = traverse_util.flatten_dict(variables["params"])
+    out = {}
+    for path, w in flat.items():
+        if path[-1] != "kernel" or "backbone" not in path:
+            out[path] = w
+            continue
+        mod = path[-2]
+        q = (
+            (mod == "to_qkv" and "self_attn" in path)
+            or (mod == "to_out" and ("self_attn" in path or "cross_attn" in path))
+            or (mod == "to_q" and "cross_attn" in path)
+            or (mod == "proj" and "linear_in" in path)
+            or (mod in ("linear_in", "linear_out") and "ff" in path)
+        )
+        if q:
+            w8, scale = quantize_kernel_int8(w)
+            out[path] = w8
+            out[path[:-1] + ("kernel_scale",)] = scale
+        else:
+            out[path] = w
+    return {**variables, "params": traverse_util.unflatten_dict(out)}
+
+
 def _lm_jit_cache(model, key, builder):
     """Per-model cache of jitted LM programs (same scheme as generation.py)."""
     cache = getattr(model, "_lm_gen_jit_cache", None)
@@ -261,11 +300,17 @@ def lm_generate_cached(
     cfg_scale: tp.Optional[float] = None,
     rng=None,
     init_codes=None,
+    weight_quant: tp.Optional[str] = None,
 ):
     """KV-cached AR generation: O(S²) decode as one lax.scan program.
 
     The reference exposes generation-cache hooks (lm_backbone.py:9-40); here
     every layer carries an explicit KV cache updated via dynamic_update_slice.
+
+    weight_quant="int8" additionally stores the per-step backbone kernels as
+    per-channel symmetric int8 (weight-only; activations stay bf16) — half
+    the HBM bytes per token on the bandwidth-bound decode scan, at the cost
+    of ~1e-2-relative logit error. Opt-in.
     """
     from ..ops.attention import init_kv_cache
 
@@ -307,10 +352,13 @@ def lm_generate_cached(
     # (b) fused qkv/GLU kernels pre-permuted from the TP-friendly interleaved
     # layout to concat (~50 ms on TPU — the stride-2 relayouts are slow) so
     # every decode step reads them contiguously with zero strided ops.
+    prep_key = (str(cache_dtype), weight_quant)
     prep = getattr(model, "_lm_decode_vars_cache", None)
-    if prep is not None and prep[0] is variables and prep[1] == str(cache_dtype):
+    if prep is not None and prep[0] is variables and prep[1] == prep_key:
         variables = prep[2]
     else:
+        assert weight_quant in (None, "int8"), weight_quant
+
         def prepare(v):
             if cache_dtype != jnp.float32:
                 v = jax.tree_util.tree_map(
@@ -318,13 +366,16 @@ def lm_generate_cached(
                     if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                     v,
                 )
-            return permute_fused_kernels_to_concat(
+            v = permute_fused_kernels_to_concat(
                 v, num_heads, embed_dim // num_heads
             )
+            if weight_quant == "int8":
+                v = quantize_decode_kernels_int8(v)
+            return v
         prepared = jax.jit(prepare)(variables)
         object.__setattr__(
             model, "_lm_decode_vars_cache",
-            (variables, str(cache_dtype), prepared),
+            (variables, prep_key, prepared),
         )
         variables = prepared
     caches = [
@@ -344,7 +395,7 @@ def lm_generate_cached(
     # latency hundreds of times per call on remote TPU backends.
     key = ("lm_cached", S, K, batch_size, float(temp), float(top_k),
            float(top_p), float(cfg_scale or 1.0), use_cfg, str(cache_dtype),
-           cross is not None)
+           cross is not None, weight_quant)
 
     def run(variables, cross, gen_seq, caches, rng):
         # One-time work hoisted out of the AR scan: (a) per-layer cross-attn
@@ -362,6 +413,11 @@ def lm_generate_cached(
         head_b = jnp.concatenate(
             [p_lm[f"quantizer_heads_{i}"]["bias"] for i in range(K)]
         )  # [K*card]
+        head_scale = None
+        if weight_quant == "int8":
+            from ..ops.attention import quantize_kernel_int8
+
+            head_w, head_scale = quantize_kernel_int8(head_w)
         # NB: variables arrive decode-prepared (bf16 + concat-permuted fused
         # kernels, see above); cross-attention kernels are untouched by the
         # permutation so this kv_only projection still reads interleaved.
@@ -381,7 +437,11 @@ def lm_generate_cached(
                 variables, x, caches=caches, cache_index=pos,
                 cross_kvs=cross_kvs, method=model.lm_forward_embed,
             )
-            logits = (out[:, 0] @ head_w + head_b).reshape(-1, K, card)
+            h = out[:, 0]
+            hw = h @ head_w.astype(h.dtype)
+            if head_scale is not None:
+                hw = hw * head_scale.astype(h.dtype)
+            logits = (hw + head_b.astype(h.dtype)).reshape(-1, K, card)
             if use_cfg:
                 cond_l, uncond_l = jnp.split(logits, 2, axis=0)
                 logits = uncond_l + (cond_l - uncond_l) * cfg_scale
@@ -519,6 +579,8 @@ def lm_generate_audio(model, variables, conditioning_tensors=None, rng=None,
                       use_cache=True, **kwargs):
     """generate + pretransform token decode (reference lm.py:457-472)."""
     gen = lm_generate_cached if use_cache else lm_generate
+    if not use_cache:
+        kwargs.pop("weight_quant", None)  # cached-path-only option
     codes = gen(model, variables, conditioning_tensors, rng=rng, **kwargs)
     # pretransform expects tokens [B, T, Q] (bottleneck layout); the decode is
     # jitted + cached too (an eager codec decode costs one RPC per op)

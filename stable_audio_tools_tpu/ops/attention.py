@@ -24,6 +24,46 @@ from .embeddings import apply_rotary_pos_emb
 from .norms import DynamicTanh
 
 
+class QuantizableDense(nn.Module):
+    """Drop-in nn.Dense (same param names/shapes) that additionally consumes
+    an optional `kernel_scale` variable: when present, the stored kernel is
+    int8 per-output-channel symmetric-quantized and the matmul reads it as
+    `x @ int8→bf16` with the convert fused into the weight stream — half the
+    HBM bytes of bf16, the decisive cost of the HBM-bound AR decode scan.
+    Quantization happens OUTSIDE the module (models/lm.py, opt-in); without
+    a scale this is numerically identical to nn.Dense."""
+
+    features: int
+    use_bias: bool = True
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        out = x @ kernel.astype(x.dtype)
+        if self.has_variable("params", "kernel_scale"):
+            scale = self.get_variable("params", "kernel_scale")
+            out = out * scale.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(x.dtype)
+        return out
+
+
+def quantize_kernel_int8(kernel):
+    """Per-output-channel symmetric int8: returns (int8 kernel, f32 scale)."""
+    kf = kernel.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(kf), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    return jnp.round(kf / scale).astype(jnp.int8), scale
+
+
 class InterleavedFusedProj(nn.Module):
     """Fused projection stored head-major INTERLEAVED ([h][part][dh] column
     order) applied as n_fused separate matmuls against strided PARAM slices.
@@ -59,8 +99,12 @@ class InterleavedFusedProj(nn.Module):
         heads = self.features // (self.n_fused * self.dim_heads)
         if concat_kernel:
             # kernel has been pre-permuted to [q|k|v] concat layout by the
-            # caller: contiguous read, contiguous split
+            # caller: contiguous read, contiguous split (+ optional int8
+            # weight-only dequant scale, models/lm.py)
             proj = x @ kernel.astype(x.dtype)
+            if self.has_variable("params", "kernel_scale"):
+                scale = self.get_variable("params", "kernel_scale")
+                proj = proj * scale.astype(x.dtype)
             return list(jnp.split(proj, self.n_fused, axis=-1))
         if x.shape[-2] <= 16:
             proj = x @ kernel.astype(x.dtype)  # one contiguous weight read
@@ -268,8 +312,8 @@ class Attention(nn.Module):
         kv_h = dim_kv // self.dim_heads
         has_context = context is not None
         kv_input = context if has_context else x
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, name=name, dtype=x.dtype, param_dtype=jnp.float32
+        dense = lambda feats, name: QuantizableDense(
+            feats, use_bias=False, name=name
         )
 
         n_q = 2 if self.differential else 1
@@ -319,11 +363,9 @@ class Attention(nn.Module):
                                  causal=False, mask=mask)
             b, _, n, _ = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
-            return nn.Dense(
-                dim, use_bias=False, name="to_out", dtype=x.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=nn.initializers.zeros
-                if self.zero_init_output else nn.initializers.lecun_normal(),
+            return QuantizableDense(
+                dim, use_bias=False, name="to_out",
+                zero_init=self.zero_init_output,
             )(out)
 
         # Fused projections use a HEAD-MAJOR INTERLEAVED column layout
@@ -403,11 +445,9 @@ class Attention(nn.Module):
             out, new_cache = cached_decode_attention(q, k, v, cache, cache_index)
             b, _, n, _ = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
-            out = nn.Dense(
-                dim, use_bias=False, name="to_out", dtype=x.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=nn.initializers.zeros
-                if self.zero_init_output else nn.initializers.lecun_normal(),
+            out = QuantizableDense(
+                dim, use_bias=False, name="to_out",
+                zero_init=self.zero_init_output,
             )(out)
             return out, new_cache
 
@@ -444,15 +484,9 @@ class Attention(nn.Module):
 
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
-        out_proj = nn.Dense(
-            dim,
-            use_bias=False,
-            name="to_out",
-            dtype=x.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros
-            if self.zero_init_output
-            else nn.initializers.lecun_normal(),
+        out_proj = QuantizableDense(
+            dim, use_bias=False, name="to_out",
+            zero_init=self.zero_init_output,
         )
         out = out_proj(out)
         return self._apply_feat_scale(out)

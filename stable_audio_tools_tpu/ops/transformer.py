@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .attention import Attention
+from .attention import Attention, QuantizableDense
 from .embeddings import (
     AbsolutePositionalEmbedding,
     RotaryEmbedding,
@@ -66,8 +66,13 @@ class _PairedProj(nn.Module):
             # KV-cached decode: kernel pre-permuted to [x | gate] concat
             # layout outside the scan (models/lm.py) — one contiguous weight
             # read + contiguous split; strided ops inside the sequential
-            # decode scan measured ~1.5x slower end-to-end.
-            proj = x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+            # decode scan measured ~1.5x slower end-to-end. Optional int8
+            # weight-only dequant scale (models/lm.py).
+            proj = x @ kernel.astype(x.dtype)
+            if self.has_variable("params", "kernel_scale"):
+                scale = self.get_variable("params", "kernel_scale")
+                proj = proj * scale.astype(x.dtype)
+            proj = proj + bias.astype(x.dtype)
             return tuple(jnp.split(proj, 2, axis=-1))
         k3 = kernel.reshape(din, self.dim_out, 2)
         b2 = bias.reshape(self.dim_out, 2)
@@ -91,20 +96,15 @@ class FeedForward(nn.Module):
         if self.glu:
             x = GLU(inner_dim, name="linear_in")(x, concat_kernel)
         else:
-            x = nn.Dense(
+            x = QuantizableDense(
                 inner_dim, use_bias=not self.no_bias, name="linear_in",
-                dtype=x.dtype, param_dtype=jnp.float32,
             )(x)
             x = jax.nn.silu(x)
-        out = nn.Dense(
+        out = QuantizableDense(
             dim_out,
             use_bias=not self.no_bias,
             name="linear_out",
-            dtype=x.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros
-            if self.zero_init_output
-            else nn.initializers.lecun_normal(),
+            zero_init=self.zero_init_output,
         )(x)
         return out
 

@@ -194,3 +194,23 @@ def test_lm_generate_cached_matches_full(lm_setup):
         cfg_scale=2.0, top_k=16, rng=jax.random.PRNGKey(1),
     )
     assert cached_cfg.shape == (1, 1, 8)
+
+
+def test_lm_generate_cached_int8_weight_quant(lm_setup):
+    """Opt-in int8 weight-only decode: same program shape, tokens mostly
+    agree with the bf16 path under greedy sampling."""
+    from stable_audio_tools_tpu.models.lm import lm_generate_cached
+
+    model, variables, prepared = lm_setup
+    cond_tensors = model.apply(variables, prepared, method=model.run_conditioner)
+    kwargs = dict(conditioning_tensors=cond_tensors, max_gen_len=16,
+                  top_k=0, temp=1e-6, rng=jax.random.PRNGKey(5))
+    g_bf16 = lm_generate_cached(model, variables, **kwargs)
+    g_int8 = lm_generate_cached(model, variables, weight_quant="int8",
+                                **kwargs)
+    assert g_int8.shape == g_bf16.shape
+    assert g_int8.dtype == g_bf16.dtype
+    agree = float(np.mean(np.asarray(g_int8) == np.asarray(g_bf16)))
+    # greedy decode on a random-init model is the worst case for quant
+    # noise; require substantial (not exact) agreement
+    assert agree > 0.5, f"greedy token agreement {agree}"

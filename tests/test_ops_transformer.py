@@ -191,3 +191,51 @@ def test_gqa_attention():
     params = m.init(jax.random.PRNGKey(0), x, context=ctx)
     out = m.apply(params, x, context=ctx)
     assert out.shape == (2, 10, 32)
+
+
+def test_differential_attention_runs_and_reduces_to_difference():
+    """Differential attention (reference transformer.py:344,516-521): two
+    attention maps subtracted. With the diff branch's value output at zero
+    contribution the module must still produce finite output and differ from
+    standard attention with the same q/k/v weights."""
+    from stable_audio_tools_tpu.ops.attention import Attention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+    attn = Attention(dim=64, dim_heads=32, differential=True,
+                     zero_init_output=False)
+    v = attn.init(jax.random.PRNGKey(1), x)
+    out = attn.apply(v, x)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    std = Attention(dim=64, dim_heads=32, differential=False,
+                    zero_init_output=False)
+    vs = std.init(jax.random.PRNGKey(1), x)
+    out_std = std.apply(vs, x)
+    assert not np.allclose(np.asarray(out), np.asarray(out_std))
+
+
+def test_quantizable_dense_matches_nn_dense_and_consumes_scale():
+    """QuantizableDense == nn.Dense numerically; with an int8 kernel +
+    kernel_scale sibling it dequantizes to ~1e-2 relative error."""
+    from flax import linen as nn
+
+    from stable_audio_tools_tpu.ops.attention import (
+        QuantizableDense, quantize_kernel_int8,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 32))
+    qd = QuantizableDense(48)
+    v = qd.init(jax.random.PRNGKey(1), x)
+    ref = nn.Dense(48).apply(
+        {"params": {"kernel": v["params"]["kernel"],
+                    "bias": v["params"]["bias"]}}, x)
+    np.testing.assert_allclose(np.asarray(qd.apply(v, x)), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    w8, scale = quantize_kernel_int8(v["params"]["kernel"])
+    vq = {"params": {"kernel": w8, "kernel_scale": scale,
+                     "bias": v["params"]["bias"]}}
+    out_q = qd.apply(vq, x)
+    err = np.max(np.abs(np.asarray(out_q) - np.asarray(ref)))
+    assert err < 0.05 * float(np.max(np.abs(np.asarray(ref)))) + 0.05, err
