@@ -90,13 +90,21 @@ class InterleavedFusedProj(nn.Module):
     dim_heads: int
 
     @nn.compact
-    def __call__(self, x, concat_kernel: bool = False):
+    def __call__(self, x, concat_kernel: bool = False,
+                 raw_interleaved: bool = False):
         din = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (din, self.features),
             jnp.float32,
         )
         heads = self.features // (self.n_fused * self.dim_heads)
+        if raw_interleaved:
+            # one matmul, no unpacking: the fused flash kernel reads q/k/v
+            # blocks straight out of [B, N, H, n_fused, dh] via BlockSpec
+            # index maps (ops/kernels/flash_attention.py)
+            proj = x @ kernel.astype(x.dtype)
+            b, n = proj.shape[:-1]
+            return proj.reshape(b, n, heads, self.n_fused, self.dim_heads)
         if concat_kernel:
             # kernel has been pre-permuted to [q|k|v] concat layout by the
             # caller: contiguous read, contiguous split (+ optional int8
@@ -258,26 +266,6 @@ class Attention(nn.Module):
     qk_norm: Literal["l2", "ln", "dyt", "none"] = "none"
     differential: bool = False
     feat_scale: bool = False
-
-    def _can_use_fused_kernel(self, x, rotary_pos_emb, mask, cache, context):
-        """Fused-qkv pallas path: self-attention, long block-divisible seq,
-        no qk-norm, single-chip program (pallas custom-calls don't partition
-        under GSPMD)."""
-        if (cache is not None or mask is not None or context is not None
-                or self.qk_norm != "none"):
-            return False
-        if jax.default_backend() != "tpu":
-            return False
-        from ..parallel.mesh import in_mesh_program
-
-        if in_mesh_program():
-            return False
-        n = x.shape[-2]
-        if n < 512 or n % 512 != 0 or self.dim_heads not in (64, 128):
-            return False
-        if rotary_pos_emb is not None and rotary_pos_emb.shape[0] > n:
-            return False
-        return True
 
     def _apply_feat_scale(self, out):
         if not self.feat_scale:

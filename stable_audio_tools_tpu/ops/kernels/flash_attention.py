@@ -471,12 +471,22 @@ flash_attention.defvjp(_fwd, _bwd)
 # The TP-friendly fused projection layout ([B, N, H, 3, dh], see
 # ops/attention.py) would need a physical shuffle to produce contiguous
 # q/k/v tensors for the standard kernel (pallas call boundaries materialize
-# their inputs). Instead the kernel's BlockSpec index maps read q/k/v blocks
+# their inputs). The kernel's BlockSpec index maps instead read q/k/v blocks
 # directly out of the fused tensor — zero rearrangement passes — and apply
 # the (partial, half-split) rotary embedding in-kernel in fp32.
+#
+# STATUS: correct (values+grads tested vs the XLA reference) but measured
+# SLOWER than the standard split path on real v5e at the SA-Open DiT shape
+# (dh=64): Mosaic tiles the trailing (3, 64) block dims to (8, 128), so the
+# per-head q/k/v panels carry ~4x VMEM padding and every in-loop plane read
+# pays a relayout (self-attn 0.51 -> 1.77 ms/layer end-to-end). With dh=64
+# no per-head lane packing satisfies the 128-lane tiling without a physical
+# transpose, which is exactly what this path exists to avoid — so the
+# Attention module does NOT dispatch here; kept as an experimental entry
+# for dh=128 models and future Mosaic tiling improvements.
 
 
-def _flash_fused_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, cos_ref, sin_ref,
+def _flash_fused_kernel(qkv_q_ref, qkv_kv_ref, cos_ref, sin_ref,
                         o_ref, lse_ref, *, block_q, block_k, seq_len, causal,
                         w_left, w_right, scale, rot_dim, no_mask=False):
     qi = pl.program_id(2)
@@ -494,14 +504,18 @@ def _flash_fused_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, cos_ref, sin_ref,
         t_rot = t_rot * c + rotated * s
         return jnp.concatenate([t_rot, t_pass], axis=-1).astype(t.dtype)
 
+    # the q/k/v plane dim (3) is blocked FULLY — Mosaic requires the last
+    # two block dims divisible by (8, 128) or equal to the array dims, so a
+    # singleton block on the plane axis cannot lower; plane selection
+    # happens here instead
     q = rope(qkv_q_ref[0, :, 0, 0, :], q_start, block_q)  # [block_q, dh]
     D = q.shape[-1]
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = rope(qkv_k_ref[0, pl.ds(kb * block_k, block_k), 0, 0, :],
+        k_blk = rope(qkv_kv_ref[0, pl.ds(kb * block_k, block_k), 0, 1, :],
                      kb * block_k, block_k)
-        v_blk = qkv_v_ref[0, pl.ds(kb * block_k, block_k), 0, 0, :]
+        v_blk = qkv_kv_ref[0, pl.ds(kb * block_k, block_k), 0, 2, :]
         logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         if not no_mask:
             mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
@@ -541,30 +555,35 @@ def _fused_forward(qkv, cos, sin, causal, window, block_q=512, block_k=512):
     w_left, w_right = (-1, -1) if window is None else window
     block_q, block_k, N_pad = _pick_blocks(N, causal, w_left, w_right,
                                            block_q, block_k)
-    assert N_pad == N, "fused path requires block-divisible sequence lengths"
+    if N_pad != N:
+        # pad the seq axis; padded keys are masked via k_ids < seq_len and
+        # padded query rows are sliced away below (same scheme as the
+        # standard forward)
+        qkv = jnp.pad(qkv, ((0, 0), (0, N_pad - N), (0, 0), (0, 0), (0, 0)))
     rot_dim = 0 if cos is None else cos.shape[-1]
     if cos is None:
-        cos = jnp.zeros((N, 1), jnp.float32)
-        sin = jnp.zeros((N, 1), jnp.float32)
-    no_mask = (not causal) and w_left < 0 and w_right < 0
+        cos = jnp.zeros((N_pad, 1), jnp.float32)
+        sin = jnp.zeros((N_pad, 1), jnp.float32)
+    elif N_pad != N:
+        cos = jnp.pad(cos, ((0, N_pad - N), (0, 0)))
+        sin = jnp.pad(sin, ((0, N_pad - N), (0, 0)))
+    no_mask = (not causal) and w_left < 0 and w_right < 0 and N_pad == N
 
     kernel = functools.partial(
         _flash_fused_kernel, block_q=block_q, block_k=block_k, seq_len=N,
         causal=causal, w_left=w_left, w_right=w_right, scale=scale,
         rot_dim=rot_dim, no_mask=no_mask,
     )
-    qspec = pl.BlockSpec((1, block_q, 1, 1, D), lambda b, h, i: (b, i, h, 0, 0),
+    qspec = pl.BlockSpec((1, block_q, 1, 3, D), lambda b, h, i: (b, i, h, 0, 0),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, N, 1, 1, D), lambda b, h, i: (b, 0, h, 1, 0),
-                         memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, N, 1, 1, D), lambda b, h, i: (b, 0, h, 2, 0),
-                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, N_pad, 1, 3, D), lambda b, h, i: (b, 0, h, 0, 0),
+                          memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec(cos.shape, lambda b, h, i: (0, 0),
                          memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
         kernel,
-        grid=(B, H, N // block_q),
-        in_specs=[qspec, kspec, vspec, tspec, tspec],
+        grid=(B, H, N_pad // block_q),
+        in_specs=[qspec, kvspec, tspec, tspec],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -572,12 +591,12 @@ def _fused_forward(qkv, cos, sin, causal, window, block_q=512, block_k=512):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, N, D), qkv.dtype),
-            jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, N_pad, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, H, N_pad, 1), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(qkv, qkv, qkv, cos, sin)
-    return out, lse.reshape(B * H, N, 1)
+    )(qkv, qkv, cos, sin)
+    return out[:, :, :N, :], lse[:, :, :N].reshape(B * H, N, 1)
 
 
 def _fused_unpack_rope(qkv, cos, sin):
