@@ -480,6 +480,12 @@ class DataLoader:
             random.Random(self.seed + self._epoch).shuffle(indices)
         self._epoch += 1
         if self.process_count > 1:
+            # pad to a multiple of process_count (repeat from the head, same
+            # as torch's DistributedSampler) so EVERY rank yields the same
+            # number of batches — unequal counts would leave the last
+            # collective of an epoch waiting on an exhausted rank forever
+            pad = -len(indices) % self.process_count
+            indices = indices + indices[:pad]
             indices = indices[self.process_index::self.process_count]
         n_batches = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:

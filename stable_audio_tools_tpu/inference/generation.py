@@ -173,7 +173,7 @@ def generate_diffusion_uncond(
         "uncond", steps, sampler_type, float(sigma_min), float(sigma_max),
         float(rho), shape, bool(return_latents), diff_obj,
         init_data is not None, tuple(sorted(sampler_kwargs.items())),
-        bool(chunk_kwargs),
+        bool(chunk_kwargs), mesh is not None,
     )
 
     def build(variables, noise, init_data, rng):
@@ -303,7 +303,7 @@ def generate_diffusion_cond(
         float(rho), float(cfg_scale), float(scale_phi), tuple(cfg_interval),
         shape, bool(return_latents), diff_obj, neg_struct,
         init_data is not None, tuple(sorted(sampler_kwargs.items())),
-        bool(chunk_kwargs), bool(preview),
+        bool(chunk_kwargs), bool(preview), mesh is not None,
     )
     if preview:
         sampler_kwargs = dict(sampler_kwargs,
@@ -462,7 +462,7 @@ def generate_diffusion_cond_inpaint(
         "inpaint", steps, sampler_type, float(sigma_min), float(sigma_max),
         float(rho), float(cfg_scale), float(scale_phi), tuple(cfg_interval),
         shape, bool(return_latents),
-        tuple(sorted(sampler_kwargs.items())), bool(chunk_kwargs), bool(preview),
+        tuple(sorted(sampler_kwargs.items())), bool(chunk_kwargs), bool(preview), mesh is not None,
     )
     if preview:
         sampler_kwargs = dict(sampler_kwargs,

@@ -261,7 +261,7 @@ def generate_cond_fn(prompt, negative_prompt=None, seconds_start=0,
 
 
 def generate_lm_fn(temperature=1.0, top_p=0.95, top_k=0, seconds_total=10.0,
-                   prompt=None, seed=-1):
+                   prompt=None, seed=-1, int8_decode=False):
     """Backend for the LM tab (reference gradio.py:331-355 generate_lm)."""
     import jax
 
@@ -293,6 +293,7 @@ def generate_lm_fn(temperature=1.0, top_p=0.95, top_k=0, seconds_total=10.0,
         max_gen_len=max(max_gen_len, 8),
         temp=float(temperature), top_p=float(top_p), top_k=int(top_k),
         rng=jax.random.PRNGKey(seed),
+        weight_quant="int8" if int8_decode else None,
     )
     audio = np.asarray(audio)[0]
     peak = np.abs(audio).max() or 1.0
@@ -501,15 +502,18 @@ def create_ui(model_config_path=None, ckpt_path=None, pretrained_name=None,
                     temperature = gr.Slider(0, 5, 1.0, step=0.01,
                                             label="Temperature")
                     top_p = gr.Slider(0, 1, 0.95, step=0.01, label="Top p")
+                    int8_decode = gr.Checkbox(
+                        False, label="int8 weight-only decode (faster)")
                     top_k = gr.Slider(0, 100, 0, step=1, label="Top k")
                 seconds_total = gr.Slider(1, 60, 10, step=1, label="Seconds")
                 out = gr.Audio(label="Output audio", interactive=False)
                 out_spec = gr.Gallery(label="Output spectrogram", show_label=False)
                 gr.Button("Generate", variant="primary").click(
-                    lambda t, p, k, s, pr: generate_lm_fn(
+                    lambda t, p, k, s, pr, q8: generate_lm_fn(
                         temperature=t, top_p=p, top_k=k, seconds_total=s,
-                        prompt=pr),
-                    inputs=[temperature, top_p, top_k, seconds_total, prompt],
+                        prompt=pr, int8_decode=q8),
+                    inputs=[temperature, top_p, top_k, seconds_total, prompt,
+                            int8_decode],
                     outputs=[out, out_spec], api_name="generate",
                 )
     return ui

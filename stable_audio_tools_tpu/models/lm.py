@@ -353,9 +353,13 @@ def lm_generate_cached(
     # layout to concat (~50 ms on TPU — the stride-2 relayouts are slow) so
     # every decode step reads them contiguously with zero strided ops.
     prep_key = (str(cache_dtype), weight_quant)
-    prep = getattr(model, "_lm_decode_vars_cache", None)
-    if prep is not None and prep[0] is variables and prep[1] == prep_key:
-        variables = prep[2]
+    prep_cache = getattr(model, "_lm_decode_vars_cache", None)
+    if prep_cache is None:
+        prep_cache = {}
+        object.__setattr__(model, "_lm_decode_vars_cache", prep_cache)
+    prep = prep_cache.get(prep_key)
+    if prep is not None and prep[0] is variables:
+        variables = prep[1]
     else:
         assert weight_quant in (None, "int8"), weight_quant
 
@@ -373,10 +377,10 @@ def lm_generate_cached(
                 v = quantize_decode_kernels_int8(v)
             return v
         prepared = jax.jit(prepare)(variables)
-        object.__setattr__(
-            model, "_lm_decode_vars_cache",
-            (variables, prep_key, prepared),
-        )
+        # strong ref to the source pytree keeps the id()-style identity
+        # check sound; one entry per (dtype, quant) config so alternating
+        # quant settings don't thrash the ~50 ms preparation
+        prep_cache[prep_key] = (variables, prepared)
         variables = prepared
     caches = [
         init_kv_cache(B_eff, num_heads, S, embed_dim // num_heads,

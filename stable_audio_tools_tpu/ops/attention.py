@@ -351,10 +351,11 @@ class Attention(nn.Module):
                                  causal=False, mask=mask)
             b, _, n, _ = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
-            return QuantizableDense(
+            out = QuantizableDense(
                 dim, use_bias=False, name="to_out",
                 zero_init=self.zero_init_output,
             )(out)
+            return self._apply_feat_scale(out)
 
         # Fused projections use a HEAD-MAJOR INTERLEAVED column layout
         # ([h][q|k|v][dh] for to_qkv, [h][k|v][dh] for to_kv, non-differential
@@ -437,7 +438,7 @@ class Attention(nn.Module):
                 dim, use_bias=False, name="to_out",
                 zero_init=self.zero_init_output,
             )(out)
-            return out, new_cache
+            return self._apply_feat_scale(out), new_cache
 
         if rotary_pos_emb is not None:
             # length-ratio frequency scaling for cross-attn (transformer.py:496-503)

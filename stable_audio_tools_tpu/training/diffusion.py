@@ -257,8 +257,12 @@ class DiffusionCondTrainer:
             if accum_steps > 1:
                 # microbatch accumulation via lax.scan over the split batch
                 def micro(acc_grads, mb):
+                    # distinct Sobol substep per microbatch: reusing
+                    # state.step for all of them would draw identical
+                    # timestep vectors accum_steps times
                     g, aux = single_grads(
-                        state.params, mb["batch"], mb["rng"], state.step
+                        state.params, mb["batch"], mb["rng"],
+                        state.step * accum_steps + mb["idx"],
                     )
                     return jax.tree_util.tree_map(jnp.add, acc_grads, g), aux
 
@@ -268,7 +272,9 @@ class DiffusionCondTrainer:
                 rngs = jax.random.split(rng, accum_steps)
                 zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
                 grads, auxs = jax.lax.scan(
-                    micro, zero, {"batch": split, "rng": rngs}
+                    micro, zero,
+                    {"batch": split, "rng": rngs,
+                     "idx": jnp.arange(accum_steps, dtype=jnp.int32)},
                 )
                 grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
                 aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)

@@ -136,6 +136,17 @@ class Trainer:
         ):
             val_step = jax.jit(wrapper.make_val_step())
 
+        # mesh-program flag: attention_core picks the XLA path (GSPMD-
+        # partitionable) over pallas while tracing any step program (train
+        # AND val) under a mesh
+        import contextlib
+
+        from ..parallel.mesh import mesh_program_context
+
+        def mesh_ctx():
+            return (mesh_program_context(self.mesh) if self.mesh is not None
+                    else contextlib.nullcontext())
+
         rng = jax.random.PRNGKey(self.seed + self.rank)
         step = int(np.asarray(state.step))
         t_last = time.time()
@@ -149,24 +160,13 @@ class Trainer:
                 step_rng = jax.random.fold_in(rng, step)
                 if self.profile_dir and step == 10:
                     jax.profiler.start_trace(self.profile_dir)
-                if self.mesh is not None:
-                    # mesh-program flag: attention_core picks the XLA path
-                    # (GSPMD-partitionable) over pallas for sharded programs
-                    from ..parallel.mesh import mesh_program_context
-
-                    with mesh_program_context(self.mesh):
-                        if is_gan:
-                            state, aux = wrapper.train_step(
-                                state, batch["audio"], step_rng, step
-                            )
-                        else:
-                            state, aux = train_step(state, batch, step_rng)
-                elif is_gan:
-                    state, aux = wrapper.train_step(
-                        state, batch["audio"], step_rng, step
-                    )
-                else:
-                    state, aux = train_step(state, batch, step_rng)
+                with mesh_ctx():
+                    if is_gan:
+                        state, aux = wrapper.train_step(
+                            state, batch["audio"], step_rng, step
+                        )
+                    else:
+                        state, aux = train_step(state, batch, step_rng)
                 if self.profile_dir and step == 12:
                     jax.block_until_ready(aux)
                     jax.profiler.stop_trace()
@@ -195,8 +195,9 @@ class Trainer:
                     vals = []
                     for v_audio, v_meta in val_dataloader:
                         v_batch = self._prepare_batch(v_audio, v_meta)
-                        vals.append(val_step(state, v_batch,
-                                             jax.random.fold_in(rng, -step)))
+                        with mesh_ctx():
+                            vals.append(val_step(state, v_batch,
+                                                 jax.random.fold_in(rng, -step)))
                     if vals and self.rank == 0:
                         avg = {
                             k: float(np.mean([float(v[k]) for v in vals]))

@@ -299,3 +299,26 @@ def test_multihost_rank_sharding_disjoint_and_complete(tmp_path):
     # each rank's stream actually yields samples from its own shards only
     first = next(iter(d0))
     assert first is not None
+
+
+def test_multihost_rank_sharding_equal_batch_counts(tmp_path):
+    """Uneven dataset sizes must still give every rank the SAME number of
+    batches (DistributedSampler pads by repeating from the head) — unequal
+    counts would hang the last collective of each epoch."""
+    from stable_audio_tools_tpu.data.dataset import DataLoader, SampleDataset
+    from stable_audio_tools_tpu.data.wav import save_wav
+
+    root = tmp_path / "audio"
+    root.mkdir()
+    sr = 16000
+    for i in range(7):  # 7 % 2 != 0
+        x = (np.random.RandomState(i).randn(2, 2048) * 0.1).astype(np.float32)
+        save_wav(str(root / f"clip{i}.wav"), x.T, sr)
+    ds = SampleDataset([{"path": str(root)}], sample_size=1024, sample_rate=sr,
+                       augment_phase=False)
+    counts = []
+    for rank in range(2):
+        dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=1,
+                        process_index=rank, process_count=2, seed=3)
+        counts.append(sum(1 for _ in dl))
+    assert counts[0] == counts[1] == 2  # 8 padded indices -> 4 each -> 2 batches
