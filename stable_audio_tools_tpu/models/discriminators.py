@@ -55,6 +55,7 @@ class DiscriminatorSTFT(nn.Module):
     dilations: tp.Tuple[int, ...] = (1, 2, 4)
     stride: tp.Tuple[int, int] = (1, 1)
     normalized: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -69,6 +70,9 @@ class DiscriminatorSTFT(nn.Module):
         z = z.reshape(B, C, z.shape[-2], z.shape[-1])
         z = jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=1)
         z = z.transpose(0, 2, 3, 1)  # [B, frames(t), bins(w), 2C]
+        # conv stack in the configured compute dtype: f32 convs bypass the
+        # MXU on v5e (docs/performance.md); STFT itself stays f32
+        z = z.astype(jnp.dtype(self.compute_dtype))
 
         def pad2d(ks, dil=(1, 1)):
             return (((ks[0] - 1) * dil[0]) // 2, ((ks[1] - 1) * dil[1]) // 2)
@@ -100,7 +104,7 @@ class DiscriminatorSTFT(nn.Module):
         z = jax.nn.leaky_relu(z, 0.2)
         fmap.append(z)
         z = WNConv2d(self.out_channels, ks2, padding=pad2d(ks2), name="conv_post")(z)
-        return z, fmap
+        return z.astype(jnp.float32), fmap
 
 
 class MultiScaleSTFTDiscriminator(nn.Module):
@@ -110,6 +114,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     n_ffts: tp.Tuple[int, ...] = (1024, 2048, 512)
     hop_lengths: tp.Tuple[int, ...] = (256, 512, 128)
     win_lengths: tp.Tuple[int, ...] = (1024, 2048, 512)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -119,6 +124,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 filters=self.filters, in_channels=self.in_channels,
                 out_channels=self.out_channels, n_fft=self.n_ffts[i],
                 hop_length=self.hop_lengths[i], win_length=self.win_lengths[i],
+                compute_dtype=self.compute_dtype,
                 name=f"disc_{i}",
             )(x)
             logits.append(logit)
@@ -137,12 +143,14 @@ class EncodecDiscriminator(nn.Module):
     win_lengths: tp.Tuple[int, ...] = (2048, 1024, 512, 256, 128)
     normalize_losses: bool = False
     loss_type: str = "hinge"
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.discriminators = MultiScaleSTFTDiscriminator(
             filters=self.filters, in_channels=self.in_channels,
             out_channels=self.out_channels, n_ffts=self.n_ffts,
             hop_lengths=self.hop_lengths, win_lengths=self.win_lengths,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(self, x):
@@ -152,10 +160,12 @@ class EncodecDiscriminator(nn.Module):
         logits_true, feature_true = self.discriminators(reals)
         logits_fake, feature_fake = self.discriminators(fakes)
 
+        # feature maps may be bf16 (compute_dtype): reduce in f32
         if self.normalize_losses:
-            fm = lambda a, b: jnp.mean(jnp.abs(a - b)) / (jnp.mean(jnp.abs(a)) + 1e-3)
+            fm = lambda a, b: (jnp.mean(jnp.abs(a - b).astype(jnp.float32))
+                               / (jnp.mean(jnp.abs(a).astype(jnp.float32)) + 1e-3))
         else:
-            fm = lambda a, b: jnp.mean(jnp.abs(a - b))
+            fm = lambda a, b: jnp.mean(jnp.abs(a - b).astype(jnp.float32))
 
         dis_loss = 0.0
         adv_loss = 0.0
@@ -183,13 +193,14 @@ class SharedDiscriminatorConvNet(nn.Module):
     n_layers: int = 4
     kernel_size: int = 15
     stride: int = 4
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         """x NLC (1d) or NHWC (2d). Returns (score [B], features)."""
         channels = [self.capacity * 2 ** i for i in range(self.n_layers)]
         features = []
-        h = x
+        h = x.astype(jnp.dtype(self.compute_dtype))
         for i in range(self.n_layers):
             if self.conv_dim == 1:
                 h = WNConv1d(
@@ -208,7 +219,7 @@ class SharedDiscriminatorConvNet(nn.Module):
         else:
             h = WNConv2d(self.out_size, (1, 1), name="conv_out")(h)
         features.append(h)
-        score = jnp.mean(h.reshape(h.shape[0], -1), axis=-1)
+        score = jnp.mean(h.reshape(h.shape[0], -1).astype(jnp.float32), axis=-1)
         return score, features
 
 
@@ -218,14 +229,17 @@ class OobleckDiscriminator(nn.Module):
     in_channels: int = 1
     n_scales: int = 3
     periods: tp.Tuple[int, ...] = (2, 3, 5, 7, 11)
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.scale_discs = [
-            SharedDiscriminatorConvNet(conv_dim=1, name=f"msd_{i}")
+            SharedDiscriminatorConvNet(conv_dim=1, name=f"msd_{i}",
+                                       compute_dtype=self.compute_dtype)
             for i in range(self.n_scales)
         ]
         self.period_discs = [
-            SharedDiscriminatorConvNet(conv_dim=2, name=f"mpd_{i}")
+            SharedDiscriminatorConvNet(conv_dim=2, name=f"mpd_{i}",
+                                       compute_dtype=self.compute_dtype)
             for i in range(len(self.periods))
         ]
 
@@ -263,7 +277,7 @@ class OobleckDiscriminator(nn.Module):
         dis_loss, gen_loss = get_hinge_losses(score_real, score_fake)
         fm = 0.0
         for f in features:
-            fm = fm + jnp.mean(jnp.abs(f[:B] - f[B:]))
+            fm = fm + jnp.mean(jnp.abs(f[:B] - f[B:]).astype(jnp.float32))
         fm = fm / len(features)
         return dis_loss, gen_loss, fm
 
@@ -276,10 +290,12 @@ class OobleckDiscriminator(nn.Module):
 class DACMPD(nn.Module):
     period: int
     channels: int = 1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         """x: [B, C, T] → (fmap list, logits)."""
+        x = x.astype(jnp.dtype(self.compute_dtype))
         B, C, T = x.shape
         pad = (self.period - T % self.period) % self.period
         xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)), mode="reflect" if pad < T else "constant")
@@ -302,10 +318,11 @@ class DACMSD(nn.Module):
     rate: int = 1
     sample_rate: int = 44100
     channels: int = 1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        h = jnp.swapaxes(x, 1, 2)  # NLC
+        h = jnp.swapaxes(x, 1, 2).astype(jnp.dtype(self.compute_dtype))  # NLC
         if self.rate > 1:
             h = h[:, :: self.rate, :]
         fmap = []
@@ -332,6 +349,7 @@ class DACMRD(nn.Module):
     bands: tp.Tuple[tp.Tuple[float, float], ...] = (
         (0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0),
     )
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -342,6 +360,7 @@ class DACMRD(nn.Module):
         z = z.reshape(B, C, z.shape[-2], z.shape[-1])
         zr = jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=1)  # [B, 2C, t, f]
         zr = zr.transpose(0, 2, 3, 1)  # [B, t, f, 2C]
+        zr = zr.astype(jnp.dtype(self.compute_dtype))
         n_bins = zr.shape[2]
         fmap = []
         band_outs = []
@@ -371,14 +390,17 @@ class DACGANLoss(nn.Module):
     fft_sizes: tp.Tuple[int, ...] = (2048, 1024, 512)
     sample_rate: int = 44100
     channels: int = 1
+    compute_dtype: str = "float32"
 
     def setup(self):
-        discs = []
-        self.mpds = [DACMPD(p, channels=self.channels, name=f"mpd_{p}")
+        self.mpds = [DACMPD(p, channels=self.channels, name=f"mpd_{p}",
+                            compute_dtype=self.compute_dtype)
                      for p in self.periods]
         self.msds = [DACMSD(r, sample_rate=self.sample_rate, channels=self.channels,
-                            name=f"msd_{r}") for r in self.rates]
-        self.mrds = [DACMRD(f, sample_rate=self.sample_rate, name=f"mrd_{f}")
+                            name=f"msd_{r}", compute_dtype=self.compute_dtype)
+                     for r in self.rates]
+        self.mrds = [DACMRD(f, sample_rate=self.sample_rate, name=f"mrd_{f}",
+                            compute_dtype=self.compute_dtype)
                      for f in self.fft_sizes]
 
     def _all(self, x):
@@ -398,10 +420,12 @@ class DACGANLoss(nn.Module):
         adv_loss = 0.0
         fm = 0.0
         for fr, ff in zip(d_real, d_fake):
-            dis_loss = dis_loss + jnp.mean((1 - fr[-1]) ** 2) + jnp.mean(ff[-1] ** 2)
-            adv_loss = adv_loss + jnp.mean((1 - ff[-1]) ** 2)
+            lr = fr[-1].astype(jnp.float32)
+            lf = ff[-1].astype(jnp.float32)
+            dis_loss = dis_loss + jnp.mean((1 - lr) ** 2) + jnp.mean(lf ** 2)
+            adv_loss = adv_loss + jnp.mean((1 - lf) ** 2)
             for a, b in zip(fr[:-1], ff[:-1]):
-                fm = fm + jnp.mean(jnp.abs(a - b))
+                fm = fm + jnp.mean(jnp.abs(a - b).astype(jnp.float32))
         return dis_loss, adv_loss, fm
 
 
@@ -422,6 +446,7 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
     n_octaves: tp.Tuple[int, ...] = (9, 9, 9)
     bins_per_octaves: tp.Tuple[int, ...] = (24, 36, 48)
     fmin: float = 32.7
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -442,6 +467,7 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
             frames, bins = re.shape[-2], re.shape[-1]
             h = jnp.stack([re, im], axis=1)
             h = h.reshape(B, C * 2, frames, bins).transpose(0, 2, 3, 1)  # NHWC
+            h = h.astype(jnp.dtype(self.compute_dtype))
             fmap = []
             for i in range(3):
                 h = WNConv2d(self.filters, (3, 9), stride=(1, 2 if i else 1),
@@ -450,7 +476,7 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
                 fmap.append(h)
             h = WNConv2d(1, (3, 3), padding=(1, 1), name=f"scale{si}_post")(h)
             fmap.append(h)
-            logits.append(h)
+            logits.append(h.astype(jnp.float32))
             fmaps.append(fmap)
         return logits, fmaps
 
@@ -464,7 +490,7 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
             d, a = get_hinge_losses(l_true[i], l_fake[i])
             dis_loss = dis_loss + d
             adv_loss = adv_loss + a
-            fm = fm + sum(jnp.mean(jnp.abs(x - y))
+            fm = fm + sum(jnp.mean(jnp.abs(x - y).astype(jnp.float32))
                           for x, y in zip(f_true[i], f_fake[i])) / len(f_true[i])
         n = len(l_true)
         return dis_loss / n, adv_loss / n, fm / n
@@ -476,13 +502,16 @@ class BigVGANDiscriminator(nn.Module):
     channels: int = 1
     sample_rate: int = 44100
     periods: tp.Tuple[int, ...] = (2, 3, 5, 7, 11)
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.mpd = OobleckDiscriminator(
             in_channels=self.channels, n_scales=0, periods=self.periods,
+            compute_dtype=self.compute_dtype,
         )
         self.cqt = MultiScaleSubbandCQTDiscriminator(
             sample_rate=self.sample_rate, channels=self.channels,
+            compute_dtype=self.compute_dtype,
         )
 
     def loss(self, reals, fakes):

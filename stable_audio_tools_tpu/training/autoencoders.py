@@ -173,6 +173,10 @@ class AutoencoderTrainer:
         if self.use_disc:
             d_cfg = {k: tuple(v) if isinstance(v, list) else v
                      for k, v in loss_config["discriminator"]["config"].items()}
+            # disc conv stacks follow the autoencoder's compute dtype unless
+            # the config overrides: f32 convs bypass the v5e MXU (matches the
+            # reference's 16-mixed autocast covering its discriminators)
+            d_cfg.setdefault("compute_dtype", self.compute_dtype or "float32")
             d_type = loss_config["discriminator"]["type"]
             if d_type == "encodec":
                 self.discriminator = EncodecDiscriminator(in_channels=out_ch, **d_cfg)
@@ -187,7 +191,8 @@ class AutoencoderTrainer:
 
                 self.discriminator = BigVGANDiscriminator(
                     channels=out_ch, sample_rate=sample_rate,
-                    **{k: v for k, v in d_cfg.items() if k in ("periods",)},
+                    **{k: v for k, v in d_cfg.items()
+                       if k in ("periods", "compute_dtype")},
                 )
             else:
                 raise ValueError(f"Unknown discriminator type {d_type}")
