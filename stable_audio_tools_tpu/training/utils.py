@@ -157,6 +157,44 @@ class WandbLogger:
         self._wandb.log({key: self._wandb.Image(image)}, step=step)
 
 
+class CometLogger:
+    """Comet logger (reference supports WandbLogger and CometLogger through
+    the same shims, training/utils.py:104-129). Gated on comet_ml."""
+
+    def __init__(self, project=None, name=None, config=None):
+        import comet_ml
+
+        self.experiment = comet_ml.Experiment(project_name=project)
+        if name:
+            self.experiment.set_name(name)
+        if config:
+            self.experiment.log_parameters(config)
+
+    def log_metrics(self, metrics: dict, step: int = None):
+        self.experiment.log_metrics(
+            {k: v for k, v in metrics.items()
+             if isinstance(v, (int, float))}, step=step)
+
+    def log_audio(self, key, audio, sample_rate, caption=None, step=None):
+        import io
+        import wave
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        pcm = (np.clip(np.asarray(audio).T, -1, 1) * 32767).astype("<i2")
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(pcm.shape[1] if pcm.ndim > 1 else 1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        self.experiment.log_audio(buf.getvalue(), file_name=f"{key}.wav",
+                                  step=step)
+
+    def log_image(self, key, image, step=None):
+        self.experiment.log_image(image, name=key, step=step)
+
+
 def create_logger(logger_type: str, save_dir: str, project=None, name=None,
                   config=None):
     if logger_type == "wandb":
@@ -164,6 +202,11 @@ def create_logger(logger_type: str, save_dir: str, project=None, name=None,
             return WandbLogger(project=project, name=name, config=config)
         except ImportError:
             print("wandb not installed; falling back to JSONL logging")
+    elif logger_type == "comet":
+        try:
+            return CometLogger(project=project, name=name, config=config)
+        except ImportError:
+            print("comet_ml not installed; falling back to JSONL logging")
     return JSONLLogger(os.path.join(save_dir, "train_log.jsonl"))
 
 
