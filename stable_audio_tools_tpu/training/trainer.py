@@ -37,6 +37,8 @@ class Trainer:
         max_steps: tp.Optional[int] = None,
         logger=None,
         use_mesh: bool = True,
+        mesh_model: int = 1,
+        tp_rules=None,
         accum_batches: int = 1,
         seed: int = 42,
         val_every: int = 0,
@@ -58,7 +60,14 @@ class Trainer:
         self.seed = seed
         self.mesh = None
         if use_mesh and len(jax.devices()) > 1:
-            self.mesh = create_mesh()
+            self.mesh = create_mesh(model=mesh_model)
+        # tensor-parallel param sharding rules for the 'model' axis; default
+        # to the DiT qkv/ff rules when a model axis is requested
+        self.tp_rules = tp_rules
+        if self.tp_rules is None and mesh_model > 1:
+            from ..parallel.mesh import DIT_TP_RULES
+
+            self.tp_rules = DIT_TP_RULES
         self.rank = get_rank()
 
     # -- batch assembly ----------------------------------------------------
@@ -86,17 +95,32 @@ class Trainer:
     def _place_state(self, state):
         if self.mesh is None:
             return state
+        tp_active = (self.tp_rules is not None
+                     and dict(self.mesh.shape).get("model", 1) > 1)
+        if tp_active:
+            # TP training: params/ema/optimizer moments sharded over the
+            # 'model' axis by the same path rules (optimizer-state paths
+            # embed the param paths, so the rules match mu/nu too; scalars
+            # fall back to replicated)
+            from ..parallel.mesh import tp_param_sharding
+
+            place = lambda tree: jax.device_put(
+                tree, tp_param_sharding(tree, self.mesh, self.tp_rules)
+            )
+        else:
+            place = lambda tree: replicate_tree(tree, self.mesh)
         placed = state.replace(
-            params=replicate_tree(state.params, self.mesh)
+            params=place(state.params)
             if hasattr(state, "params") else state.params,
-            opt_state=jax.device_put(
-                state.opt_state, zero_shard_opt_state(state.opt_state, self.mesh)
+            opt_state=(
+                place(state.opt_state) if tp_active else jax.device_put(
+                    state.opt_state,
+                    zero_shard_opt_state(state.opt_state, self.mesh),
+                )
             ) if hasattr(state, "opt_state") else state.opt_state,
         )
         if getattr(state, "ema_params", None) is not None:
-            placed = placed.replace(
-                ema_params=replicate_tree(state.ema_params, self.mesh)
-            )
+            placed = placed.replace(ema_params=place(state.ema_params))
         return placed
 
     # -- checkpointing -------------------------------------------------------

@@ -195,3 +195,37 @@ def test_sequence_parallel_tp_matches_plain():
         )(svars, x, t, cross)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tp_mesh_training_matches_single_device(setup):
+    """Trainer-style TP training: params/opt-state sharded over the 'model'
+    axis by DIT_TP_RULES, batch over 'data' — loss must match the
+    single-device step."""
+    from jax.sharding import set_mesh
+
+    from stable_audio_tools_tpu.parallel.mesh import (
+        DIT_TP_RULES, mesh_program_context, shard_batch, tp_param_sharding,
+    )
+
+    model, trainer, variables, batch = setup
+    state = trainer.init_state(variables)
+    train_step = jax.jit(trainer.make_train_step())
+
+    _, aux_ref = train_step(state, batch, jax.random.PRNGKey(3))
+
+    mesh = create_mesh(data=4, model=2)
+    place = lambda tree: jax.device_put(
+        tree, tp_param_sharding(tree, mesh, DIT_TP_RULES))
+    tp_state = state.replace(
+        params=place(state.params), opt_state=place(state.opt_state),
+        ema_params=place(state.ema_params)
+        if state.ema_params is not None else None,
+    )
+    sbatch = shard_batch(batch, mesh)
+    with set_mesh(mesh), mesh_program_context(mesh):
+        new_state, aux = train_step(tp_state, sbatch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(aux["loss"]), float(aux_ref["loss"]),
+                               rtol=1e-5)
+    # params updated and still finite
+    l0 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert bool(jnp.all(jnp.isfinite(l0)))

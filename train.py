@@ -53,6 +53,10 @@ def parse_args():
                    default=dget("gradient_clip_val", 0.0, float))
     p.add_argument("--logger", type=str, default=dget("logger", "jsonl"))
     p.add_argument("--demo-every", type=int, default=0)
+    p.add_argument("--mesh-model", type=int,
+                   default=dget("mesh_model", 1, int),
+                   help="size of the 'model' (tensor-parallel) mesh axis; "
+                        "devices/mesh_model becomes the 'data' axis")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for multi-host training")
     p.add_argument("--profile-dir", type=str, default="",
@@ -178,6 +182,7 @@ def main():
         demo_callback=demo_callback,
         max_steps=args.max_steps,
         accum_batches=args.accum_batches,
+        mesh_model=args.mesh_model,
         seed=args.seed,
         val_every=max(args.val_every, 0),
         profile_dir=args.profile_dir or None,
