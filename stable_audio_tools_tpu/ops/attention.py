@@ -196,14 +196,28 @@ def attention_core(
     window: Optional[Tuple[int, int]] = None,
     mask: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
+    prefix_len: int = 0,
 ) -> jax.Array:
-    """Backend dispatch point. q,k,v: [b, h, n, d]."""
+    """Backend dispatch point. q,k,v: [b, h, n, d].
+
+    prefix_len: number of prepended cond/memory tokens at the head of a
+    self-attention sequence. When the remaining main sequence is better
+    aligned to the flash kernel's block grid than the full length (e.g.
+    SA-Open's N = 1 + 1024), dispatches to the prefix-split kernel entry —
+    same math, ~2x fewer block pairs."""
     if use_pallas is None:
         use_pallas = _should_use_pallas(q, k, mask)
     if use_pallas:
         try:
-            from .kernels.flash_attention import flash_attention
+            from .kernels.flash_attention import (
+                flash_attention, flash_attention_prefix,
+                prefix_split_profitable,
+            )
 
+            if (prefix_len and not causal and window is None and mask is None
+                    and q.shape == k.shape
+                    and prefix_split_profitable(q.shape[-2], prefix_len)):
+                return flash_attention_prefix(q, k, v, prefix_len)
             return flash_attention(q, k, v, causal=causal, window=window)
         except Exception:
             pass
@@ -266,6 +280,9 @@ class Attention(nn.Module):
     qk_norm: Literal["l2", "ln", "dyt", "none"] = "none"
     differential: bool = False
     feat_scale: bool = False
+    # static count of prepended cond/memory tokens for self-attention
+    # (module field, not a call arg: remat traces call args)
+    prefix_len: int = 0
 
     def _apply_feat_scale(self, out):
         if not self.feat_scale:
@@ -464,7 +481,10 @@ class Attention(nn.Module):
         if q.shape[-2] == 1:
             is_causal = False
 
-        out = attention_core(q, k, v, causal=is_causal, window=sliding_window, mask=mask)
+        out = attention_core(
+            q, k, v, causal=is_causal, window=sliding_window, mask=mask,
+            prefix_len=0 if has_context else self.prefix_len,
+        )
         if self.differential:
             out_diff = attention_core(
                 q_diff, k_diff, v, causal=is_causal, window=sliding_window, mask=mask

@@ -465,6 +465,103 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# Prefix-split entry: short prepended prefix + block-aligned main sequence
+# ---------------------------------------------------------------------------
+#
+# DiT-style transformers prepend a handful of tokens (global-cond token,
+# prepend_cond, memory tokens) to a block-friendly latent sequence: SA-Open
+# runs self-attention at N = 1 + 1024. The block grid quantizes to 512-token
+# tiles, so that ONE extra token pads the grid from 2x2 to 3x3 block pairs —
+# 2.25x the attention work (measured exactly 2x wall on v5e: 0.59 -> 1.17 ms
+# at [2,24,N,64]). Splitting recovers the clean grid: flash over the
+# (N - P) main tokens, then fold the P prefix keys into the result with the
+# streaming-softmax merge (exp(lse) is the main partition function), and do
+# the P prefix query rows densely. Exact same math as full attention modulo
+# fp reassociation.
+
+
+def prefix_split_profitable(n: int, prefix_len: int) -> bool:
+    """True when the split shrinks the padded block grid (static helper)."""
+    if prefix_len <= 0 or prefix_len >= n:
+        return False
+    if prefix_len > 64:
+        # the dense prefix correction is O(N*P); only worth it for short
+        # prefixes (typical: 1-17 tokens of global/prepend/memory cond)
+        return False
+    _, _, n_pad_full = _pick_blocks(n, False, -1, -1, 512, 512)
+    _, _, n_pad_main = _pick_blocks(n - prefix_len, False, -1, -1, 512, 512)
+    return n_pad_main < n_pad_full
+
+
+def _prefix_forward(q, k, v, prefix_len):
+    B, H, N, D = q.shape
+    P = prefix_len
+    Nm = N - P
+    scale = 1.0 / math.sqrt(D)
+    q_m, k_m, v_m = q[:, :, P:], k[:, :, P:], v[:, :, P:]
+    out_m, lse_flat = _flash_forward(q_m, k_m, v_m, False, None)
+    lse_m = lse_flat.reshape(B, H, -1, 1)[:, :, :Nm]  # [B,H,Nm,1] f32
+    # prefix keys -> main queries: dense [Nm, P] logits merged via the
+    # online-softmax identity (sum_main exp(logit_j) v_j == exp(lse_m)*out_m)
+    k_p = k[:, :, :P].astype(jnp.float32)
+    v_p = v[:, :, :P].astype(jnp.float32)
+    logits_p = jnp.einsum(
+        "bhnd,bhpd->bhnp", q_m.astype(jnp.float32), k_p) * scale
+    m_new = jnp.maximum(lse_m, jnp.max(logits_p, axis=-1, keepdims=True))
+    w_m = jnp.exp(lse_m - m_new)
+    p_p = jnp.exp(logits_p - m_new)
+    num = w_m * out_m.astype(jnp.float32) + jnp.einsum(
+        "bhnp,bhpd->bhnd", p_p, v_p)
+    den = w_m + jnp.sum(p_p, axis=-1, keepdims=True)
+    out_main = (num / den).astype(q.dtype)
+    lse_main = m_new + jnp.log(den)
+    # prefix query rows: dense softmax over all N keys (P is tiny)
+    logits_q = jnp.einsum(
+        "bhpd,bhnd->bhpn", q[:, :, :P].astype(jnp.float32),
+        k.astype(jnp.float32)) * scale
+    m_q = jnp.max(logits_q, axis=-1, keepdims=True)
+    e_q = jnp.exp(logits_q - m_q)
+    l_q = jnp.sum(e_q, axis=-1, keepdims=True)
+    out_pref = (jnp.einsum(
+        "bhpn,bhnd->bhpd", e_q, v.astype(jnp.float32)) / l_q).astype(q.dtype)
+    lse_pref = m_q + jnp.log(l_q)
+    out = jnp.concatenate([out_pref, out_main], axis=2)
+    lse = jnp.concatenate([lse_pref, lse_main], axis=2)  # [B,H,N,1], full-row
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_prefix(q, k, v, prefix_len: int):
+    """Non-causal, unwindowed self-attention [B,H,N,D] where the first
+    `prefix_len` tokens are a short prepended prefix. Numerically the same
+    attention as `flash_attention(q, k, v)`; see the module comment."""
+    out, _ = _prefix_forward(q, k, v, prefix_len)
+    return out
+
+
+def _prefix_fwd(q, k, v, prefix_len):
+    out, lse = _prefix_forward(q, k, v, prefix_len)
+    return out, (q, k, v, out, lse)
+
+
+def _prefix_bwd(prefix_len, res, g):
+    # the merged lse equals the full-problem lse, so the standard full-length
+    # backward applies unchanged (fwd keeps the 2x win; bwd cost is as before)
+    q, k, v, o, lse = res
+    B, H, N, _ = q.shape
+    _, _, n_pad = _pick_blocks(N, False, -1, -1, 512, 512)
+    lse_flat = lse.reshape(B * H, N, 1)
+    if n_pad != N:
+        # zero-pad rows are harmless: dO is zero there, so their dK/dV
+        # contributions vanish and their dQ rows are sliced away
+        lse_flat = jnp.pad(lse_flat, ((0, 0), (0, n_pad - N), (0, 0)))
+    return _flash_backward(q, k, v, o, lse_flat, g, False, None)
+
+
+flash_attention_prefix.defvjp(_prefix_fwd, _prefix_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused-QKV entry: attention straight off the interleaved projection output
 # ---------------------------------------------------------------------------
 #

@@ -160,6 +160,9 @@ class TransformerBlock(nn.Module):
     norm_eps: float = 1e-5
     # static config (not a call arg: remat would trace the ints)
     sliding_window: Optional[Tuple[int, int]] = None
+    # count of prepended cond/memory tokens (enables the prefix-split flash
+    # dispatch when the main sequence is block-aligned; see ops/attention.py)
+    prefix_len: int = 0
 
     @nn.compact
     def __call__(
@@ -212,6 +215,7 @@ class TransformerBlock(nn.Module):
             qk_norm=self.qk_norm,
             differential=self.differential,
             feat_scale=self.feat_scale,
+            prefix_len=self.prefix_len,
             name="self_attn",
         )
         self_attn_scale = make_scale("self_attn_scale")
@@ -441,6 +445,12 @@ class ContinuousTransformer(nn.Module):
                 prevent_cse=False,
             )
 
+        # prepended cond/memory tokens ahead of the main sequence: lets the
+        # flash kernel run on the block-aligned main length (e.g. 1 + 1024)
+        n_prefix = self.num_memory_tokens + (
+            prepend_embeds.shape[1] if prepend_embeds is not None else 0
+        )
+
         out_x = None
         for i in range(self.depth):
             should_cross_attend = self.cross_attend and (
@@ -462,6 +472,7 @@ class ContinuousTransformer(nn.Module):
                 qk_norm=self.qk_norm,
                 ff_mult=self.ff_mult,
                 sliding_window=self.sliding_window,
+                prefix_len=n_prefix,
                 name=f"layers_{i}",
             )
             if caches is not None:

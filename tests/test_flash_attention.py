@@ -113,3 +113,53 @@ def test_fused_qkv_matches_reference(causal, window, use_rope):
     g_fused = jax.grad(lambda q: jnp.sum(fused(q) * ct))(qkv)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("N,P", [
+    (1025, 1),    # SA-Open DiT: 1 global-cond token + 1024 latents
+    (1040, 16),   # prepend_cond + memory tokens
+    (515, 3),
+])
+def test_prefix_split_matches_full(N, P):
+    from stable_audio_tools_tpu.ops.kernels.flash_attention import (
+        flash_attention_prefix, prefix_split_profitable)
+    assert prefix_split_profitable(N, P)
+    rng = np.random.RandomState(3)
+    B, H, D = 1, 2, 64
+    q, k, v = (jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+               for _ in range(3))
+    out_p = flash_attention_prefix(q, k, v, P)
+    out_x = dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_prefix_split_profitability_gate():
+    from stable_audio_tools_tpu.ops.kernels.flash_attention import (
+        prefix_split_profitable)
+    assert not prefix_split_profitable(1024, 0)     # no prefix
+    assert not prefix_split_profitable(1536, 512)   # long prefix: dense blowup
+    assert not prefix_split_profitable(1024, 1)     # 1023 pads back to 1024
+    assert prefix_split_profitable(1025, 1)
+
+
+def test_prefix_split_grads():
+    from stable_audio_tools_tpu.ops.kernels.flash_attention import (
+        flash_attention_prefix)
+    rng = np.random.RandomState(4)
+    B, H, N, P, D = 1, 2, 515, 3, 64
+    q, k, v = (jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+               for _ in range(3))
+    w = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+
+    def loss_p(q, k, v):
+        return jnp.sum(w * flash_attention_prefix(q, k, v, P) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(w * dot_product_attention(q, k, v) ** 2)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
