@@ -26,6 +26,12 @@ class Snake1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", nn.initializers.ones, (self.features,), jnp.float32)
+        from ..ops.activations import sin2_fast, use_fast_sin2
+
+        if use_fast_sin2():
+            xf = x.astype(jnp.float32)
+            s2 = sin2_fast(alpha * xf)
+            return (xf + (1.0 / (alpha + 1e-9)) * s2).astype(x.dtype)
         a = alpha.astype(x.dtype)
         s = jnp.sin(a * x)
         return x + (1.0 / (a + 1e-9)) * s * s

@@ -111,3 +111,30 @@ def test_wnconvtranspose1d_shapes():
     out = m.apply(params, x)
     # torch: (L-1)*s - 2p + k = 15*4 - 4 + 8 = 64
     assert out.shape == (2, 64, 4)
+
+
+def test_sin2_fast_matches_sin_squared():
+    # f32-grade accuracy of the TPU fast-snake polynomial incl. far from 0
+    import numpy as np
+    import jax.numpy as jnp
+    from stable_audio_tools_tpu.ops.activations import sin2_fast
+
+    z = jnp.asarray(np.linspace(-200.0, 200.0, 400001), jnp.float32)
+    ref = np.sin(np.asarray(z, np.float64)) ** 2
+    got = np.asarray(sin2_fast(z), np.float64)
+    assert np.max(np.abs(got - ref)) < 5e-5
+
+
+def test_snake_beta_fast_flag(monkeypatch):
+    import numpy as np
+    import jax.numpy as jnp
+    from stable_audio_tools_tpu.ops import activations as A
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 64, 8), jnp.float32)
+    a = jnp.asarray(np.exp(np.random.RandomState(1).randn(8) * 0.2), jnp.float32)
+    b = jnp.asarray(np.exp(np.random.RandomState(2).randn(8) * 0.2), jnp.float32)
+    exact = A.snake_beta(x, a, b)
+    monkeypatch.setattr(A, "use_fast_sin2", lambda: True)
+    fast = A.snake_beta(x, a, b)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=1e-4, atol=1e-5)
