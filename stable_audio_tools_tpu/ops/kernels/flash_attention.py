@@ -140,6 +140,114 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
     lse_ref[0] = m + jnp.log(l)  # [block_q, 1]
 
 
+def _flash_prefix_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref, o_ref, lse_ref,
+                         *, block_q, block_k, seq_len, prefix_len, scale,
+                         no_mask=False):
+    """Non-causal flash forward over the main sequence with a short prefix
+    K/V folded into the online-softmax accumulator as one extra (masked)
+    block — the merge never leaves VMEM, unlike the XLA-side lse merge it
+    replaces (which cost ~120us/layer in f32 elementwise passes at SA-Open
+    shape). kp/vp are [1, P_pad, D] with valid rows < prefix_len."""
+    qi = pl.program_id(1)
+    q = q_ref[0]  # [block_q, D]
+    D = q.shape[-1]
+    q_start = qi * block_q
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        if not no_mask:
+            mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
+                             False, -1, -1)
+            logits = jnp.where(mask, logits, NEG_INF)
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(
+        0, pl.cdiv(seq_len, block_k), body, (acc0, m0, l0)
+    )
+
+    # prefix block: [block_q, P_pad] logits, pad columns masked out
+    kp = kp_ref[0]  # [P_pad, D]
+    vp = vp_ref[0]
+    s_p = jnp.dot(q, kp.T, preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s_p.shape, 1)
+    s_p = jnp.where(col < prefix_len, s_p, NEG_INF)
+    m_new = jnp.maximum(m, jnp.max(s_p, axis=-1, keepdims=True))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s_p - m_new)
+    l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc * alpha + jnp.dot(
+        p.astype(vp.dtype), vp, preferred_element_type=jnp.float32
+    )
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m_new + jnp.log(l)
+
+
+def _flash_forward_pk(q, k, v, kp, vp, prefix_len, block_q=512, block_k=512):
+    """Flash forward over main q/k/v [B,H,Nm,D] + prefix kp/vp [B,H,P,D]
+    folded in-kernel. Returns (out [B,H,Nm,D], lse [B*H, Nm_pad, 1])."""
+    B, H, N, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    if N % 1024 == 0:
+        block_q, block_k = max(block_q, 1024), max(block_k, 1024)
+    block_q, block_k, N_pad = _pick_blocks(N, False, -1, -1, block_q, block_k)
+    qf = _pad_seq(q, N_pad).reshape(B * H, N_pad, D)
+    kf = _pad_seq(k, N_pad).reshape(B * H, N_pad, D)
+    vf = _pad_seq(v, N_pad).reshape(B * H, N_pad, D)
+    P = kp.shape[2]
+    P_pad = 128  # one lane tile; prefix_split_profitable caps P at 64
+    kpf = _pad_seq(kp, P_pad).reshape(B * H, P_pad, D)
+    vpf = _pad_seq(vp, P_pad).reshape(B * H, P_pad, D)
+
+    kernel = functools.partial(
+        _flash_prefix_kernel, block_q=block_q, block_k=block_k, seq_len=N,
+        prefix_len=P, scale=scale, no_mask=N_pad == N,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B * H, N_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, N_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, N_pad, 1), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf, kpf, vpf)
+    out = out.reshape(B, H, N_pad, D)[:, :, :N, :]
+    return out, lse
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
                    block_q, block_k, seq_len, causal, w_left, w_right, scale):
     qi = pl.program_id(1)
@@ -295,6 +403,11 @@ def _flash_forward(q, k, v, causal, window, block_q=512, block_k=512):
     B, H, N, D = q.shape
     scale = 1.0 / math.sqrt(D)
     w_left, w_right = (-1, -1) if window is None else window
+    if not causal and window is None and N % 1024 == 0:
+        # unmasked + block-aligned: 1024-point blocks quarter the program
+        # count; measured 341 -> 279 us at [48,1024,64] on v5e (the forward
+        # is grid-dispatch-bound at DiT sizes, not MXU-bound)
+        block_q, block_k = max(block_q, 1024), max(block_k, 1024)
     block_q, block_k, N_pad = _pick_blocks(N, causal, w_left, w_right,
                                            block_q, block_k)
     qf = _pad_seq(q, N_pad).reshape(B * H, N_pad, D)
@@ -499,31 +612,25 @@ def _prefix_forward(q, k, v, prefix_len):
     Nm = N - P
     scale = 1.0 / math.sqrt(D)
     q_m, k_m, v_m = q[:, :, P:], k[:, :, P:], v[:, :, P:]
-    out_m, lse_flat = _flash_forward(q_m, k_m, v_m, False, None)
-    lse_m = lse_flat.reshape(B, H, -1, 1)[:, :, :Nm]  # [B,H,Nm,1] f32
-    # prefix keys -> main queries: dense [Nm, P] logits merged via the
-    # online-softmax identity (sum_main exp(logit_j) v_j == exp(lse_m)*out_m)
-    k_p = k[:, :, :P].astype(jnp.float32)
-    v_p = v[:, :, :P].astype(jnp.float32)
-    logits_p = jnp.einsum(
-        "bhnd,bhpd->bhnp", q_m.astype(jnp.float32), k_p) * scale
-    m_new = jnp.maximum(lse_m, jnp.max(logits_p, axis=-1, keepdims=True))
-    w_m = jnp.exp(lse_m - m_new)
-    p_p = jnp.exp(logits_p - m_new)
-    num = w_m * out_m.astype(jnp.float32) + jnp.einsum(
-        "bhnp,bhpd->bhnd", p_p, v_p)
-    den = w_m + jnp.sum(p_p, axis=-1, keepdims=True)
-    out_main = (num / den).astype(q.dtype)
-    lse_main = m_new + jnp.log(den)
-    # prefix query rows: dense softmax over all N keys (P is tiny)
+    # prefix keys fold into the main rows' online softmax INSIDE the kernel
+    # (one extra [block_q, 128] masked block per program) — lse comes back as
+    # the full-problem logsumexp, so the padded full-length backward applies
+    out_main, lse_flat = _flash_forward_pk(
+        q_m, k_m, v_m, k[:, :, :P], v[:, :, :P], P
+    )
+    lse_main = lse_flat.reshape(B, H, -1, 1)[:, :, :Nm]  # [B,H,Nm,1] f32
+    # prefix query rows: dense softmax over all N keys (P is tiny). bf16
+    # operands with f32 accumulation — same precision as the kernel's MXU
+    # path, and no full-size f32 materialization of k/v.
     logits_q = jnp.einsum(
-        "bhpd,bhnd->bhpn", q[:, :, :P].astype(jnp.float32),
-        k.astype(jnp.float32)) * scale
+        "bhpd,bhnd->bhpn", q[:, :, :P], k,
+        preferred_element_type=jnp.float32) * scale
     m_q = jnp.max(logits_q, axis=-1, keepdims=True)
     e_q = jnp.exp(logits_q - m_q)
     l_q = jnp.sum(e_q, axis=-1, keepdims=True)
     out_pref = (jnp.einsum(
-        "bhpn,bhnd->bhpd", e_q, v.astype(jnp.float32)) / l_q).astype(q.dtype)
+        "bhpn,bhnd->bhpd", e_q.astype(v.dtype), v,
+        preferred_element_type=jnp.float32) / l_q).astype(q.dtype)
     lse_pref = m_q + jnp.log(l_q)
     out = jnp.concatenate([out_pref, out_main], axis=2)
     lse = jnp.concatenate([lse_pref, lse_main], axis=2)  # [B,H,N,1], full-row
