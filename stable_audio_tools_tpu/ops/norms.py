@@ -37,6 +37,8 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from .kernels.layer_norm import fused_layer_norm
+
         if self.fix_scale:
             gamma = jnp.ones((self.dim,), jnp.float32)
         else:
@@ -44,8 +46,9 @@ class LayerNorm(nn.Module):
         beta = None
         if self.bias:
             beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
-        out = layer_norm(x.astype(jnp.float32), gamma, beta, self.eps)
-        return out.astype(x.dtype)
+        # single fused VMEM pass on TPU (stats + normalize + affine); plain
+        # XLA formula elsewhere — identical two-pass f32 statistics
+        return fused_layer_norm(x, gamma, beta, self.eps)
 
 
 class RMSNorm(nn.Module):
