@@ -442,18 +442,18 @@ class ARCTrainer:
                 )
             key = "ode"
             if key not in self._jit_cache:
-                self._jit_cache[key] = jax.jit(self._ode_step_fn())
+                self._jit_cache[key] = jax.jit(self._ode_step_fn(), donate_argnums=(0,))
             return self._jit_cache[key](state, self._ode_cache, cond_tensors, rng)
         # trimming starts after ODE warmup (reference arc.py:329)
         latents = self._maybe_trim(latents, padding_masks, step)
         if step % 2 == 0:
             key = "gen"
             if key not in self._jit_cache:
-                self._jit_cache[key] = jax.jit(self._gen_step_fn())
+                self._jit_cache[key] = jax.jit(self._gen_step_fn(), donate_argnums=(0,))
             return self._jit_cache[key](state, latents, cond_tensors, rng)
         key = "disc"
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self._disc_step_fn())
+            self._jit_cache[key] = jax.jit(self._disc_step_fn(), donate_argnums=(0,))
         return self._jit_cache[key](
             state, latents, cond_tensors, rolled_cond_tensors, rng
         )

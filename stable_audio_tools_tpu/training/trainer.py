@@ -153,7 +153,9 @@ class Trainer:
         state = self._place_state(state) if not is_gan else state
         if not is_gan:
             train_step = wrapper.make_train_step(accum_steps=self.accum_batches)
-            train_step = jax.jit(train_step)
+            # donated state: lets XLA update params/moments in place instead
+            # of copying them every step
+            train_step = jax.jit(train_step, donate_argnums=(0,))
         val_step = None
         if self.val_every and val_dataloader is not None and hasattr(
             wrapper, "make_val_step"

@@ -50,13 +50,22 @@ AE_TRAIN_CONFIG = {
 
 
 @pytest.fixture(scope="module")
-def ae_trainer():
+def _ae_trainer_cached():
     model = create_model_from_config(AE_TRAIN_CONFIG)
     trainer = create_training_wrapper_from_config(AE_TRAIN_CONFIG, model)
     audio = jnp.asarray(
         np.random.RandomState(0).randn(2, 2, 512).astype(np.float32) * 0.1
     )
     state = trainer.init_state(jax.random.PRNGKey(0), audio)
+    # train_step donates its state; keep a host snapshot so every test gets
+    # fresh device buffers
+    return trainer, jax.device_get(state), audio
+
+
+@pytest.fixture
+def ae_trainer(_ae_trainer_cached):
+    trainer, host_state, audio = _ae_trainer_cached
+    state = jax.tree_util.tree_map(jnp.asarray, host_state)
     return trainer, state, audio
 
 
@@ -81,24 +90,22 @@ def test_gan_alternation_and_losses(ae_trainer):
 
 def test_disc_params_update_only_on_disc_steps(ae_trainer):
     trainer, state, audio = ae_trainer
-    d0 = jax.tree_util.tree_leaves(state.disc_params)[0]
-    g0 = jax.tree_util.tree_leaves(state.gen_params)[0]
+    # snapshot to host before stepping: train_step donates its input state
+    d0 = np.asarray(jax.tree_util.tree_leaves(state.disc_params)[0])
+    g0 = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0])
     # even step: generator updates, discriminator untouched
     state1, _ = trainer.train_step(state, audio, jax.random.PRNGKey(0), 0)
-    assert np.allclose(
-        np.asarray(jax.tree_util.tree_leaves(state1.disc_params)[0]), np.asarray(d0)
-    )
-    assert not np.allclose(
-        np.asarray(jax.tree_util.tree_leaves(state1.gen_params)[0]), np.asarray(g0)
-    )
+    d1 = np.asarray(jax.tree_util.tree_leaves(state1.disc_params)[0])
+    g1 = np.asarray(jax.tree_util.tree_leaves(state1.gen_params)[0])
+    assert np.allclose(d1, d0)
+    assert not np.allclose(g1, g0)
     # odd step: discriminator updates, generator untouched
     state2, _ = trainer.train_step(state1, audio, jax.random.PRNGKey(1), 1)
     assert not np.allclose(
-        np.asarray(jax.tree_util.tree_leaves(state2.disc_params)[0]), np.asarray(d0)
+        np.asarray(jax.tree_util.tree_leaves(state2.disc_params)[0]), d0
     )
     assert np.allclose(
-        np.asarray(jax.tree_util.tree_leaves(state2.gen_params)[0]),
-        np.asarray(jax.tree_util.tree_leaves(state1.gen_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2.gen_params)[0]), g1
     )
 
 

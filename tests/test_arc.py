@@ -67,11 +67,20 @@ def arc_setup():
         method=student.run_conditioner,
     )
     state = trainer.init_state(gen_vars, disc_vars, latents)
+    # train_step donates its state; hand out a host snapshot and let the
+    # per-test fixture below restore fresh device buffers
+    return trainer, jax.device_get(state), latents, cond_tensors, rolled
+
+
+@pytest.fixture
+def arc_fresh(arc_setup):
+    trainer, host_state, latents, cond_tensors, rolled = arc_setup
+    state = jax.tree_util.tree_map(jnp.asarray, host_state)
     return trainer, state, latents, cond_tensors, rolled
 
 
-def test_arc_full_phase_cycle(arc_setup):
-    trainer, state, latents, cond, rolled = arc_setup
+def test_arc_full_phase_cycle(arc_fresh):
+    trainer, state, latents, cond, rolled = arc_fresh
     # steps 0-1: ODE warmup
     for step in range(2):
         state, aux = trainer.train_step(state, latents, cond,
@@ -83,7 +92,7 @@ def test_arc_full_phase_cycle(arc_setup):
     assert "adv_loss" in aux
     assert np.isfinite(float(aux["loss"]))
     # step 3: discriminator with contrastive + grad penalties
-    g0 = jax.tree_util.tree_leaves(state.gen_params)[0]
+    g0 = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0])
     state, aux = trainer.train_step(state, latents, cond, jax.random.PRNGKey(3), 3,
                                     rolled_cond_tensors=rolled)
     assert "loss_dis" in aux and "contrastive_loss_dis" in aux
@@ -95,9 +104,9 @@ def test_arc_full_phase_cycle(arc_setup):
     )
     assert int(state.step) == 4
 
-def test_arc_trim_buckets(arc_setup):
+def test_arc_trim_buckets(arc_fresh):
     """Random-length trim: bucketed static shapes, applied only with prob>0."""
-    trainer, state, latents, cond, rolled = arc_setup
+    trainer, state, latents, cond, rolled = arc_fresh
     trainer.trim_config = {"trim_prob": 1.0, "type": "random_item",
                            "bucket_multiple": 8}
     trainer.trim_prob, trainer.trim_type, trainer.trim_bucket = 1.0, "random_item", 8
