@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.conv import Conv1d, WNConv1d, WNConv2d
+from ..ops.conv import (Conv1d, WNConv1d, WNConv2d, pack_w_pairs,
+                        unpack_w_pairs)
 from ..ops.stft import hann_window, stft
 
 
@@ -56,6 +57,7 @@ class DiscriminatorSTFT(nn.Module):
     stride: tp.Tuple[int, int] = (1, 1)
     normalized: bool = True
     compute_dtype: str = "float32"
+    use_w_packed: bool = True  # lane-packed conv stack (exact; tests compare)
 
     @nn.compact
     def __call__(self, x):
@@ -77,11 +79,35 @@ class DiscriminatorSTFT(nn.Module):
         def pad2d(ks, dil=(1, 1)):
             return (((ks[0] - 1) * dil[0]) // 2, ((ks[1] - 1) * dil[1]) // 2)
 
+        # run the whole stack in the W-pair-packed layout so the 64-channel
+        # convs fill all 128 MXU lanes (ops/conv.py::pack_w_pairs; ~1.8×).
+        # Params and returned fmaps/logits keep the reference layout exactly.
+        packed = self.use_w_packed and self.stride == (1, 1)
+        w_valid = z.shape[2]
+        if packed:
+            if w_valid % 2:
+                # mask_edge below keeps this padded column zero into every
+                # layer, exactly like the reference's out-of-range zero pad
+                z = jnp.pad(z, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            z = pack_w_pairs(z)
+
+        def finish(z):
+            if not packed:
+                return z
+            return unpack_w_pairs(z)[:, :, :w_valid]
+
+        def mask_edge(z):
+            if not packed or w_valid % 2 == 0:
+                return z
+            C2 = z.shape[-1] // 2
+            return z.at[:, :, -1, C2:].set(0.0)
+
         fmap = []
         z = WNConv2d(self.filters, self.kernel_size,
-                     padding=pad2d(self.kernel_size), name="conv_in")(z)
-        z = jax.nn.leaky_relu(z, 0.2)
-        fmap.append(z)
+                     padding=pad2d(self.kernel_size), w_packed=packed,
+                     name="conv_in")(z)
+        z = mask_edge(jax.nn.leaky_relu(z, 0.2))
+        fmap.append(finish(z))
         in_chs = min(self.filters_scale * self.filters, self.max_filters)
         for i, dilation in enumerate(self.dilations):
             out_chs = min((self.filters_scale ** (i + 1)) * self.filters,
@@ -90,21 +116,24 @@ class DiscriminatorSTFT(nn.Module):
                 out_chs, self.kernel_size, stride=self.stride,
                 dilation=(dilation, 1),
                 padding=pad2d(self.kernel_size, (dilation, 1)),
+                w_packed=packed,
                 name=f"conv_{i}",
             )(z)
-            z = jax.nn.leaky_relu(z, 0.2)
-            fmap.append(z)
+            z = mask_edge(jax.nn.leaky_relu(z, 0.2))
+            fmap.append(finish(z))
             in_chs = out_chs
         out_chs = min(
             (self.filters_scale ** (len(self.dilations) + 1)) * self.filters,
             self.max_filters,
         )
         ks2 = (self.kernel_size[0], self.kernel_size[0])
-        z = WNConv2d(out_chs, ks2, padding=pad2d(ks2), name="conv_pre_post")(z)
-        z = jax.nn.leaky_relu(z, 0.2)
-        fmap.append(z)
-        z = WNConv2d(self.out_channels, ks2, padding=pad2d(ks2), name="conv_post")(z)
-        return z.astype(jnp.float32), fmap
+        z = WNConv2d(out_chs, ks2, padding=pad2d(ks2), w_packed=packed,
+                     name="conv_pre_post")(z)
+        z = mask_edge(jax.nn.leaky_relu(z, 0.2))
+        fmap.append(finish(z))
+        z = WNConv2d(self.out_channels, ks2, padding=pad2d(ks2),
+                     w_packed=packed, name="conv_post")(z)
+        return finish(z).astype(jnp.float32), fmap
 
 
 class MultiScaleSTFTDiscriminator(nn.Module):

@@ -190,8 +190,53 @@ class WNConv1d(nn.Module):
         )
 
 
+def pack_w_pairs(x: jax.Array) -> jax.Array:
+    """NHWC [B, H, W, C] → [B, H, W/2, 2C] by folding W pairs into channels.
+
+    Channel layout is pair-major: packed channel p*C + c holds column parity
+    p. W must be even (pad first). Used to lift 64-channel discriminator
+    convs onto full 128-lane tiles — see WNConv2d(w_packed=True)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def unpack_w_pairs(x: jax.Array) -> jax.Array:
+    """Inverse of pack_w_pairs: [B, H, W2, 2C] → [B, H, 2*W2, C]."""
+    B, H, W2, C2 = x.shape
+    return x.reshape(B, H, W2 * 2, C2 // 2)
+
+
+def _pack_kernel_w(kernel: jax.Array, padw: int):
+    """HWIO kernel [kh, kw, Ci, Co] → pair-packed [kh, U, 2Ci, 2Co].
+
+    Exact rewrite of a stride-1, dilation-1 W-axis convolution in the
+    pack_w_pairs representation: output column 2v+q reads input column
+    2v+q+o-padw = 2(u+v)+p, so each output parity q is the original kernel
+    shifted by q and split into (u, p). Implemented as two pads + reshapes —
+    no scatter. Returns (packed_kernel, u_pad_left, u_pad_right)."""
+    kh, kw, Ci, Co = kernel.shape
+    pm = padw % 2
+    U = (pm + kw) // 2 + 1
+    blocks = []
+    for q in (0, 1):
+        lp = q + pm
+        kq = jnp.pad(kernel, ((0, 0), (lp, 2 * U - lp - kw), (0, 0), (0, 0)))
+        blocks.append(kq.reshape(kh, U, 2, Ci, Co))  # [kh, u, p, ci, co]
+    kp = jnp.stack(blocks, axis=4)          # [kh, u, p, ci, q, co]
+    kp = kp.reshape(kh, U, 2 * Ci, 2 * Co)  # (p, ci) major → 2Ci; (q, co) → 2Co
+    u_base = (padw + pm) // 2
+    return kp, u_base, U - 1 - u_base
+
+
 class WNConv2d(nn.Module):
-    """Weight-normalized conv2d, NHWC. kernel stored HWIO; g per out-channel."""
+    """Weight-normalized conv2d, NHWC. kernel stored HWIO; g per out-channel.
+
+    w_packed=True consumes/produces the pack_w_pairs layout ([B, H, W/2, 2C]):
+    the stored parameters keep the reference shapes, but the conv runs with
+    both channel dims doubled so 64-channel discriminator stacks use all 128
+    MXU lanes (measured 1.8× fwd+bwd on the EnCodec MS-STFT stack at SA-2.0
+    scale). Requires stride 1 and dilation 1 on W, symmetric W padding of
+    (kw-1)//2."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -200,10 +245,11 @@ class WNConv2d(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    w_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // 2 if self.w_packed else x.shape[-1]
         kh, kw = self.kernel_size
         shape = (kh, kw, in_ch, self.features)
         bound = 1.0 / math.sqrt(in_ch * kh * kw)
@@ -225,11 +271,29 @@ class WNConv2d(nn.Module):
             def b_init(key, s, dt):
                 return jax.random.uniform(key, s, dt, -bound, bound)
             bias = self.param("bias", b_init, (self.features,), jnp.float32)
+        dtype = self.dtype or x.dtype
+        if self.w_packed:
+            assert not isinstance(self.padding, str)
+            pt, pw = self.padding
+            assert (self.stride == (1, 1) and self.dilation[1] == 1
+                    and pw == (kw - 1) // 2), (
+                "w_packed needs stride 1 / w-dilation 1 / same w-padding")
+            kp, ul, ur = _pack_kernel_w(kernel, pw)
+            out = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kp.astype(dtype),
+                window_strides=(1, 1),
+                padding=[(pt, pt), (ul, ur)],
+                rhs_dilation=(self.dilation[0], 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                out = out + jnp.tile(bias, 2).astype(dtype)
+            return out
         if isinstance(self.padding, str):
             pad = self.padding.upper()
         else:
             pad = [(p, p) for p in self.padding]
-        dtype = self.dtype or x.dtype
         out = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
