@@ -186,8 +186,16 @@ class EncodecDiscriminator(nn.Module):
         return self.discriminators(x)
 
     def loss(self, reals, fakes):
-        logits_true, feature_true = self.discriminators(reals)
-        logits_fake, feature_fake = self.discriminators(fakes)
+        # one forward at batch 2B: convs/STFTs are per-sample, so stacking
+        # [reals; fakes] is exact and doubles MXU occupancy vs two passes
+        B = reals.shape[0]
+        logits, features = self.discriminators(
+            jnp.concatenate([reals, fakes], axis=0)
+        )
+        logits_true = [l[:B] for l in logits]
+        logits_fake = [l[B:] for l in logits]
+        feature_true = [[f[:B] for f in fs] for fs in features]
+        feature_fake = [[f[B:] for f in fs] for fs in features]
 
         # feature maps may be bf16 (compute_dtype): reduce in f32
         if self.normalize_losses:
@@ -443,8 +451,12 @@ class DACGANLoss(nn.Module):
         return self._all(x)
 
     def loss(self, reals, fakes):
-        d_real = self._all(reals)
-        d_fake = self._all(fakes)
+        # single batched forward over [reals; fakes] (exact; see
+        # EncodecDiscriminator.loss)
+        B = reals.shape[0]
+        d_both = self._all(jnp.concatenate([reals, fakes], axis=0))
+        d_real = [[f[:B] for f in fmap] for fmap in d_both]
+        d_fake = [[f[B:] for f in fmap] for fmap in d_both]
         dis_loss = 0.0
         adv_loss = 0.0
         fm = 0.0
@@ -510,8 +522,14 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
         return logits, fmaps
 
     def loss(self, reals, fakes):
-        l_true, f_true = self(reals)
-        l_fake, f_fake = self(fakes)
+        # single batched forward over [reals; fakes] (exact; see
+        # EncodecDiscriminator.loss)
+        B = reals.shape[0]
+        l_both, f_both = self(jnp.concatenate([reals, fakes], axis=0))
+        l_true = [l[:B] for l in l_both]
+        l_fake = [l[B:] for l in l_both]
+        f_true = [[f[:B] for f in fs] for fs in f_both]
+        f_fake = [[f[B:] for f in fs] for fs in f_both]
         dis_loss = 0.0
         adv_loss = 0.0
         fm = 0.0

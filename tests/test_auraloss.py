@@ -1,0 +1,98 @@
+"""STFT-loss family: fused (stacked-batch) paths match unfused math exactly.
+
+The auraloss equivalents run one FFT batch over stacked signals
+(input+target in STFTLoss, sum+diff in SumAndDifferenceSTFTLoss) — these
+tests pin that rewrite to the per-signal computation. Reference semantics:
+stable_audio_tools/training/losses/auraloss.py:226-601.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_audio_tools_tpu.training.losses.auraloss import (
+    MultiResolutionSTFTLoss,
+    STFTLoss,
+    SumAndDifferenceSTFTLoss,
+)
+from stable_audio_tools_tpu.ops.stft import apply_fir
+
+
+def _rand(shape, seed=0, scale=0.3):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape) * scale,
+                       jnp.float32)
+
+
+@pytest.mark.parametrize("perceptual", [False, True])
+@pytest.mark.parametrize("scale_inv", [False, True])
+def test_stft_loss_stacked_matches_per_signal(perceptual, scale_inv):
+    loss = STFTLoss(fft_size=256, hop_size=64, win_length=256,
+                    w_sc=1.0, w_log_mag=1.0, w_lin_mag=0.5,
+                    sample_rate=16000, perceptual_weighting=perceptual,
+                    scale_invariance=scale_inv)
+    x = _rand((3, 2, 1024), 0)
+    y = _rand((3, 2, 1024), 1)
+
+    got = loss(x, y)
+
+    # unfused reference: independent FIR + mag per signal
+    def mag(v):
+        if perceptual:
+            v = apply_fir(v, loss._aw_taps)
+        return loss._mag(v)
+
+    x_mag, y_mag = mag(x), mag(y)
+    if scale_inv:
+        alpha = jnp.sum(x_mag * y_mag, axis=(-2, -1), keepdims=True) / (
+            jnp.sum(y_mag ** 2, axis=(-2, -1), keepdims=True) + loss.eps)
+        y_mag = y_mag * alpha
+    want = (loss.w_sc * loss.sc(x_mag, y_mag)
+            + loss.w_log_mag * loss.logmag(x_mag, y_mag)
+            + loss.w_lin_mag * loss.linmag(x_mag, y_mag))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_stft_loss_stacked_matches_per_signal_2d_input():
+    loss = STFTLoss(fft_size=128, hop_size=32, win_length=128)
+    x, y = _rand((4, 512), 2), _rand((4, 512), 3)
+    got = loss(x, y)
+    want = (loss.sc(loss._mag(x), loss._mag(y))
+            + loss.logmag(loss._mag(x), loss._mag(y)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sum_and_difference_stacked_matches_full_path():
+    """output='loss' (stacked sum/diff batch) == output='full' (two calls)."""
+    kwargs = dict(fft_sizes=(256, 128), hop_sizes=(64, 32),
+                  win_lengths=(256, 128), sample_rate=16000,
+                  perceptual_weighting=True)
+    fused = SumAndDifferenceSTFTLoss(**kwargs)
+    unfused = SumAndDifferenceSTFTLoss(output="full", **kwargs)
+    x = _rand((2, 2, 2048), 4)
+    y = _rand((2, 2, 2048), 5)
+    got = fused(x, y)
+    want, _, _ = unfused(x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sum_and_difference_grads_match_full_path():
+    kwargs = dict(fft_sizes=(128,), hop_sizes=(32,), win_lengths=(128,))
+    fused = SumAndDifferenceSTFTLoss(**kwargs)
+    unfused = SumAndDifferenceSTFTLoss(output="full", **kwargs)
+    x = _rand((2, 2, 512), 6)
+    y = _rand((2, 2, 512), 7)
+    g_fused = jax.grad(lambda v: fused(v, y))(x)
+    g_unfused = jax.grad(lambda v: unfused(v, y)[0])(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_unfused),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mrstft_scalar_and_finite():
+    loss = MultiResolutionSTFTLoss(fft_sizes=(256, 128), hop_sizes=(64, 32),
+                                   win_lengths=(256, 128))
+    v = loss(_rand((2, 1024), 8), _rand((2, 1024), 9))
+    assert v.shape == () and bool(jnp.isfinite(v))

@@ -84,3 +84,88 @@ def test_discriminator_stft_packed_matches_unpacked(n_fft):
     for a, b in zip(flat_p, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Stacked real/fake loss forwards (one batch-2B pass) match two-pass math
+# ---------------------------------------------------------------------------
+
+
+def _audio_pair(channels=1, t=4096):
+    rng = np.random.RandomState(3)
+    reals = jnp.asarray(rng.randn(2, channels, t).astype(np.float32) * 0.3)
+    fakes = jnp.asarray(rng.randn(2, channels, t).astype(np.float32) * 0.3)
+    return reals, fakes
+
+
+def test_encodec_disc_stacked_loss_matches_two_pass():
+    from stable_audio_tools_tpu.models.discriminators import (
+        EncodecDiscriminator, get_hinge_losses)
+
+    disc = EncodecDiscriminator(filters=4, n_ffts=(256, 128),
+                                hop_lengths=(64, 32), win_lengths=(256, 128))
+    reals, fakes = _audio_pair()
+    params = disc.init(jax.random.PRNGKey(0), reals)
+    d, a, fm = disc.apply(params, reals, fakes, method=disc.loss)
+
+    lt, ft = disc.apply(params, reals)
+    lf, ff = disc.apply(params, fakes)
+    d2 = a2 = fm2 = 0.0
+    for i in range(len(lt)):
+        fm2 = fm2 + sum(
+            float(jnp.mean(jnp.abs(x - y))) for x, y in zip(ft[i], ff[i])
+        ) / len(ft[i])
+        dd, aa = get_hinge_losses(lt[i], lf[i])
+        d2, a2 = d2 + float(dd), a2 + float(aa)
+    n = len(lt)
+    np.testing.assert_allclose(float(d), d2 / n, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(a), a2 / n, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(fm), fm2 / n, rtol=1e-5, atol=1e-6)
+
+
+def test_dac_gan_stacked_loss_matches_two_pass():
+    from stable_audio_tools_tpu.models.discriminators import DACGANLoss
+
+    disc = DACGANLoss(periods=(2, 3), rates=(1,), fft_sizes=(512,),
+                      sample_rate=16000)
+    reals, fakes = _audio_pair()
+    params = disc.init(jax.random.PRNGKey(1), reals)
+    d, a, fm = disc.apply(params, reals, fakes, method=disc.loss)
+
+    d_real = disc.apply(params, reals)
+    d_fake = disc.apply(params, fakes)
+    d2 = a2 = fm2 = 0.0
+    for fr, ffk in zip(d_real, d_fake):
+        lr, lf = fr[-1], ffk[-1]
+        d2 += float(jnp.mean((1 - lr) ** 2) + jnp.mean(lf ** 2))
+        a2 += float(jnp.mean((1 - lf) ** 2))
+        for x, y in zip(fr[:-1], ffk[:-1]):
+            fm2 += float(jnp.mean(jnp.abs(x - y)))
+    np.testing.assert_allclose(float(d), d2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(a), a2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(fm), fm2, rtol=1e-5, atol=1e-6)
+
+
+def test_cqt_disc_stacked_loss_matches_two_pass():
+    from stable_audio_tools_tpu.models.discriminators import (
+        MultiScaleSubbandCQTDiscriminator, get_hinge_losses)
+
+    disc = MultiScaleSubbandCQTDiscriminator(
+        sample_rate=16000, filters=4, hop_lengths=(256,), n_octaves=(5,),
+        bins_per_octaves=(12,))
+    reals, fakes = _audio_pair(t=8192)
+    params = disc.init(jax.random.PRNGKey(2), reals)
+    d, a, fm = disc.apply(params, reals, fakes, method=disc.loss)
+
+    lt, ft = disc.apply(params, reals)
+    lf, ff = disc.apply(params, fakes)
+    d2 = a2 = fm2 = 0.0
+    for i in range(len(lt)):
+        dd, aa = get_hinge_losses(lt[i], lf[i])
+        d2, a2 = d2 + float(dd), a2 + float(aa)
+        fm2 += sum(float(jnp.mean(jnp.abs(x - y)))
+                   for x, y in zip(ft[i], ff[i])) / len(ft[i])
+    n = len(lt)
+    np.testing.assert_allclose(float(d), d2 / n, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(a), a2 / n, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(fm), fm2 / n, rtol=1e-5, atol=1e-6)
