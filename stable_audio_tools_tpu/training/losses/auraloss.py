@@ -146,12 +146,27 @@ class MultiResolutionSTFTLoss:
         **stft_kwargs,
     ):
         assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
+        # the A-weighting FIR prefilter is resolution-independent: apply it
+        # ONCE here instead of inside each of the N sub-losses (exact)
+        self._aw_taps = None
+        if stft_kwargs.get("perceptual_weighting"):
+            sr = stft_kwargs.get("sample_rate")
+            assert sr is not None, "perceptual_weighting needs sample_rate"
+            self._aw_taps = a_weighting_fir(101, sr)
+            stft_kwargs = dict(stft_kwargs, perceptual_weighting=False)
         self.losses = [
             STFTLoss(f, h, w, **stft_kwargs)
             for f, h, w in zip(fft_sizes, hop_sizes, win_lengths)
         ]
 
     def __call__(self, input, target):
+        if self._aw_taps is not None:
+            xy = jnp.concatenate(
+                [input[:, None] if input.ndim == 2 else input,
+                 target[:, None] if target.ndim == 2 else target], axis=0
+            )
+            xy = apply_fir(xy, self._aw_taps)
+            input, target = jnp.split(xy, 2, axis=0)
         total = 0.0
         for loss in self.losses:
             total = total + loss(input, target)

@@ -91,6 +91,23 @@ def test_sum_and_difference_grads_match_full_path():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_mrstft_hoisted_fir_matches_per_resolution_fir():
+    """MR-level A-weighting (applied once) == per-resolution STFTLoss FIR."""
+    sizes = dict(fft_sizes=(256, 128), hop_sizes=(64, 32),
+                 win_lengths=(256, 128))
+    mr = MultiResolutionSTFTLoss(sample_rate=16000,
+                                 perceptual_weighting=True, **sizes)
+    x, y = _rand((2, 1024), 10), _rand((2, 1024), 11)
+    got = mr(x, y)
+    want = sum(
+        STFTLoss(f, h, w, sample_rate=16000, perceptual_weighting=True)(x, y)
+        for f, h, w in zip(sizes["fft_sizes"], sizes["hop_sizes"],
+                           sizes["win_lengths"])
+    ) / 2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_mrstft_scalar_and_finite():
     loss = MultiResolutionSTFTLoss(fft_sizes=(256, 128), hop_sizes=(64, 32),
                                    win_lengths=(256, 128))
