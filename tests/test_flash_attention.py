@@ -163,3 +163,32 @@ def test_prefix_split_grads():
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_gqa_repeat_flash_grads_match_xla():
+    """GQA reaches the kernel as a kv-head repeat (ops/attention.py:365);
+    grads must flow back through the repeat to the UNrepeated k/v exactly as
+    in the XLA path. (q_len != k_len never reaches the kernel: cross-attn
+    dispatches to XLA by design — _should_use_pallas requires q==k length.)"""
+    rng = np.random.RandomState(5)
+    B, Hq, Hkv, N, D = 1, 4, 2, 256, 64
+    q = jnp.asarray(rng.randn(B, Hq, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Hkv, N, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Hkv, N, D).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, Hq, N, D).astype(np.float32))
+    rep = Hq // Hkv
+
+    def loss_p(q, k, v):
+        kr, vr = jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1)
+        return jnp.sum(w * flash_attention(q, kr, vr, True, None) ** 2)
+
+    def loss_x(q, k, v):
+        kr, vr = jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1)
+        return jnp.sum(w * dot_product_attention(q, kr, vr, causal=True) ** 2)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
