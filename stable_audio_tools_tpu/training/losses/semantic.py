@@ -50,11 +50,13 @@ class MelSpectrogramLoss:
     def __call__(self, input, target):
         x = input.reshape(-1, input.shape[-1])
         y = target.reshape(-1, target.shape[-1])
+        # one stacked FFT batch over [input; target] per window (exact —
+        # spectrogram and the mel matmul are per-sample)
+        xy = jnp.concatenate([x, y], axis=0)
         loss = 0.0
         for w, fb in zip(self.window_lengths, self.fbs):
             hop = w // 4
-            xs = spectrogram(x, w, hop, w) @ fb.T
-            ys = spectrogram(y, w, hop, w) @ fb.T
+            xs, ys = jnp.split(spectrogram(xy, w, hop, w) @ fb.T, 2, axis=0)
             xl = jnp.log10(jnp.clip(xs, self.clamp_eps, None) ** self.pow)
             yl = jnp.log10(jnp.clip(ys, self.clamp_eps, None) ** self.pow)
             loss = loss + self.log_weight * jnp.mean(jnp.abs(xl - yl))

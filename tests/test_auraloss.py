@@ -108,6 +108,30 @@ def test_mrstft_hoisted_fir_matches_per_resolution_fir():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_mel_loss_stacked_matches_per_signal():
+    from stable_audio_tools_tpu.ops.stft import spectrogram
+    from stable_audio_tools_tpu.training.losses.semantic import (
+        MelSpectrogramLoss)
+
+    loss = MelSpectrogramLoss(sample_rate=16000, n_mels=(40, 20),
+                              window_lengths=(512, 128))
+    x = _rand((2, 2, 2048), 12)
+    y = _rand((2, 2, 2048), 13)
+    got = loss(x, y)
+
+    xf = x.reshape(-1, x.shape[-1])
+    yf = y.reshape(-1, y.shape[-1])
+    want = 0.0
+    for w, fb in zip(loss.window_lengths, loss.fbs):
+        xs = spectrogram(xf, w, w // 4, w) @ fb.T
+        ys = spectrogram(yf, w, w // 4, w) @ fb.T
+        xl = jnp.log10(jnp.clip(xs, loss.clamp_eps, None) ** loss.pow)
+        yl = jnp.log10(jnp.clip(ys, loss.clamp_eps, None) ** loss.pow)
+        want = want + jnp.mean(jnp.abs(xl - yl)) + jnp.mean(jnp.abs(xs - ys))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_mrstft_scalar_and_finite():
     loss = MultiResolutionSTFTLoss(fft_sizes=(256, 128), hop_sizes=(64, 32),
                                    win_lengths=(256, 128))
