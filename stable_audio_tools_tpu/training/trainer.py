@@ -109,18 +109,30 @@ class Trainer:
             )
         else:
             place = lambda tree: replicate_tree(tree, self.mesh)
-        placed = state.replace(
-            params=place(state.params)
-            if hasattr(state, "params") else state.params,
-            opt_state=(
-                place(state.opt_state) if tp_active else jax.device_put(
-                    state.opt_state,
-                    zero_shard_opt_state(state.opt_state, self.mesh),
-                )
-            ) if hasattr(state, "opt_state") else state.opt_state,
-        )
+        placed = state
+        # param/opt pairs: diffusion/LM states use (params, opt_state); the
+        # GAN state uses (gen_params, gen_opt_state) + (disc_params,
+        # disc_opt_state). Params replicate (or TP-shard); optimizer moments
+        # ZeRO-shard over the data axis.
+        for pn, on in (("params", "opt_state"),
+                       ("gen_params", "gen_opt_state"),
+                       ("disc_params", "disc_opt_state")):
+            p = getattr(state, pn, None)
+            if p is None:
+                continue
+            placed = placed.replace(**{pn: place(p)})
+            o = getattr(state, on, None)
+            if o is not None:
+                placed = placed.replace(**{on: (
+                    place(o) if tp_active else jax.device_put(
+                        o, zero_shard_opt_state(o, self.mesh))
+                )})
         if getattr(state, "ema_params", None) is not None:
             placed = placed.replace(ema_params=place(state.ema_params))
+        if getattr(state, "quantizer_state", None) is not None:
+            placed = placed.replace(
+                quantizer_state=replicate_tree(state.quantizer_state, self.mesh)
+            )
         return placed
 
     # -- checkpointing -------------------------------------------------------

@@ -229,3 +229,61 @@ def test_tp_mesh_training_matches_single_device(setup):
     # params updated and still finite
     l0 = jax.tree_util.tree_leaves(new_state.params)[0]
     assert bool(jnp.all(jnp.isfinite(l0)))
+
+
+def test_ae_gan_dp_mesh_matches_single_device():
+    """One gen+disc pair of the GAN trainer under a data=8 mesh (params
+    replicated, BOTH optimizer states ZeRO-sharded — mirrors
+    Trainer._place_state) matches the single-device step exactly."""
+    from tests.test_ae_training import AE_TRAIN_CONFIG
+
+    model = create_model_from_config(AE_TRAIN_CONFIG)
+    trainer = create_training_wrapper_from_config(AE_TRAIN_CONFIG, model)
+    audio = jnp.asarray(
+        np.random.RandomState(0).randn(8, 2, 512).astype(np.float32) * 0.1
+    )
+    rng = jax.random.PRNGKey(0)
+    host_state = jax.device_get(trainer.init_state(jax.random.PRNGKey(1), audio))
+
+    def run_pair(state, reals):
+        state, gen_logs = trainer.train_step(state, reals, rng, 0)
+        state, disc_logs = trainer.train_step(state, reals, jax.random.fold_in(rng, 1), 1)
+        return state, gen_logs, disc_logs
+
+    # single device
+    s1 = jax.tree_util.tree_map(jnp.asarray, host_state)
+    s1, gen1, disc1 = run_pair(s1, audio)
+    trainer._jit_cache.clear()
+
+    # 8-device DP mesh
+    mesh = create_mesh(data=8, model=1)
+    s8 = jax.tree_util.tree_map(jnp.asarray, host_state)
+    s8 = s8.replace(
+        gen_params=replicate_tree(s8.gen_params, mesh),
+        disc_params=replicate_tree(s8.disc_params, mesh),
+        ema_params=replicate_tree(s8.ema_params, mesh),
+        gen_opt_state=jax.device_put(
+            s8.gen_opt_state, zero_shard_opt_state(s8.gen_opt_state, mesh)),
+        disc_opt_state=jax.device_put(
+            s8.disc_opt_state, zero_shard_opt_state(s8.disc_opt_state, mesh)),
+    )
+    sharded = shard_batch({"audio": audio}, mesh)["audio"]
+    from stable_audio_tools_tpu.parallel.mesh import mesh_program_context
+
+    with mesh_program_context(mesh):
+        s8, gen8, disc8 = run_pair(s8, sharded)
+
+    for k in gen1:
+        np.testing.assert_allclose(
+            float(gen1[k]), float(gen8[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"gen log {k}")
+    for k in disc1:
+        np.testing.assert_allclose(
+            float(disc1[k]), float(disc8[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"disc log {k}")
+    # params agree after the pair
+    l1 = jax.tree_util.tree_leaves(s1.gen_params)
+    l8 = jax.tree_util.tree_leaves(s8.gen_params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
+                                   rtol=5e-4, atol=5e-5)
