@@ -129,6 +129,8 @@ class Trainer:
                 )})
         if getattr(state, "ema_params", None) is not None:
             placed = placed.replace(ema_params=place(state.ema_params))
+        if getattr(state, "head_params", None) is not None:  # ARC disc heads
+            placed = placed.replace(head_params=place(state.head_params))
         if getattr(state, "quantizer_state", None) is not None:
             placed = placed.replace(
                 quantizer_state=replicate_tree(state.quantizer_state, self.mesh)
