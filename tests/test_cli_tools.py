@@ -1,0 +1,108 @@
+"""End-to-end CLI smoke tests: train.py → unwrap_model.py, and pre_encode.py.
+
+These drive the actual entry-point scripts in subprocesses (reference
+train.py / unwrap_model.py:26-115 / pre_encode.py:39-121 workflows) on a
+tiny autoencoder config and synthetic WAVs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+AE_CFG = {
+    "model_type": "autoencoder",
+    "sample_size": 2048,
+    "sample_rate": 16000,
+    "audio_channels": 2,
+    "model": {
+        "encoder": {"type": "oobleck", "config": {
+            "in_channels": 2, "channels": 8, "c_mults": [1, 2],
+            "strides": [2, 4], "latent_dim": 8, "use_snake": True}},
+        "decoder": {"type": "oobleck", "config": {
+            "out_channels": 2, "channels": 8, "c_mults": [1, 2],
+            "strides": [2, 4], "latent_dim": 4, "use_snake": True,
+            "final_tanh": False}},
+        "bottleneck": {"type": "vae"},
+        "latent_dim": 4,
+        "downsampling_ratio": 8,
+        "io_channels": 2,
+    },
+    "training": {
+        "learning_rate": 1e-3, "warmup_steps": 0, "use_ema": True,
+        "loss_configs": {
+            "spectral": {"type": "mrstft", "config": {
+                "fft_sizes": [128], "hop_sizes": [32], "win_lengths": [128]},
+                "weights": {"mrstft": 1.0}},
+            "time": {"type": "l1", "config": {}, "weights": {"l1": 0.1}},
+        },
+    },
+}
+
+
+def _run(args, cwd=REPO, timeout=480):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # empty string skips the axon sitecustomize registration entirely so the
+    # subprocess can't block on the TPU tunnel
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, f"{args}\nstdout:{r.stdout}\nstderr:{r.stderr}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    from stable_audio_tools_tpu.data.wav import save_wav
+
+    audio_dir = d / "audio"
+    audio_dir.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        save_wav(str(audio_dir / f"c{i}.wav"),
+                 (rs.randn(2, 4096) * 0.1).astype(np.float32), 16000)
+    (d / "model.json").write_text(json.dumps(AE_CFG))
+    (d / "dataset.json").write_text(json.dumps({
+        "dataset_type": "audio_dir",
+        "datasets": [{"id": "fix", "path": str(audio_dir)}],
+        "random_crop": True,
+    }))
+    return d
+
+
+def test_train_then_unwrap_cli(workdir):
+    ckpt_dir = workdir / "ckpt"
+    _run(["train.py", "--model-config", str(workdir / "model.json"),
+          "--dataset-config", str(workdir / "dataset.json"),
+          "--batch-size", "2", "--max-steps", "2", "--checkpoint-every", "2",
+          "--save-dir", str(ckpt_dir), "--num-workers", "1"])
+    ckpt = ckpt_dir / "step=2.ckpt"
+    assert ckpt.exists()
+
+    out = workdir / "unwrapped"
+    _run(["unwrap_model.py", "--model-config", str(workdir / "model.json"),
+          "--ckpt-path", str(ckpt), "--name", str(out)])
+    exported = [p for p in workdir.iterdir() if p.name.startswith("unwrapped")]
+    assert exported, "unwrap_model produced no output"
+
+
+def test_pre_encode_cli(workdir):
+    out_dir = workdir / "latents"
+    _run(["pre_encode.py", "--model-config", str(workdir / "model.json"),
+          "--dataset-config", str(workdir / "dataset.json"),
+          "--output-path", str(out_dir), "--batch-size", "2",
+          "--sample-size", "2048", "--limit", "2"])
+    npys = sorted(out_dir.rglob("*.npy"))
+    jsons = sorted(out_dir.rglob("*.json"))
+    assert npys and jsons, f"no latents written under {out_dir}"
+    lat = np.load(npys[0])
+    # [latent_dim, T/ratio] (+ maybe batch/channel layout) — just sanity-check
+    assert lat.ndim >= 2 and 4 in lat.shape
