@@ -33,6 +33,19 @@ def get_hinge_losses(score_real, score_fake):
     return dis_loss, gen_loss
 
 
+def stacked_real_fake(forward, reals, fakes):
+    """One batch-2B forward over [reals; fakes], split back per side.
+
+    Exact: every discriminator op is per-sample, so stacking just doubles
+    MXU/FFT occupancy vs two passes. Works for any pytree of [2B, ...]
+    logits/feature-map leaves."""
+    B = reals.shape[0]
+    both = forward(jnp.concatenate([reals, fakes], axis=0))
+    real = jax.tree_util.tree_map(lambda a: a[:B], both)
+    fake = jax.tree_util.tree_map(lambda a: a[B:], both)
+    return real, fake
+
+
 def get_relativistic_losses(score_real, score_fake):
     """RpGAN: relativistic pairing of real/fake scores (models/arc.py:6-11)."""
     diff = score_real - score_fake
@@ -82,7 +95,11 @@ class DiscriminatorSTFT(nn.Module):
         # run the whole stack in the W-pair-packed layout so the 64-channel
         # convs fill all 128 MXU lanes (ops/conv.py::pack_w_pairs; ~1.8×).
         # Params and returned fmaps/logits keep the reference layout exactly.
-        packed = self.use_w_packed and self.stride == (1, 1)
+        # Packing requires stride 1 and odd kernel widths (even kw + same-pad
+        # would change the output width) — fall back to the plain path else.
+        packed = (self.use_w_packed and self.stride == (1, 1)
+                  and self.kernel_size[1] % 2 == 1
+                  and self.kernel_size[0] % 2 == 1)
         w_valid = z.shape[2]
         if packed:
             if w_valid % 2:
@@ -144,6 +161,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     hop_lengths: tp.Tuple[int, ...] = (256, 512, 128)
     win_lengths: tp.Tuple[int, ...] = (1024, 2048, 512)
     compute_dtype: str = "float32"
+    use_w_packed: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -154,6 +172,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 out_channels=self.out_channels, n_fft=self.n_ffts[i],
                 hop_length=self.hop_lengths[i], win_length=self.win_lengths[i],
                 compute_dtype=self.compute_dtype,
+                use_w_packed=self.use_w_packed,
                 name=f"disc_{i}",
             )(x)
             logits.append(logit)
@@ -173,6 +192,7 @@ class EncodecDiscriminator(nn.Module):
     normalize_losses: bool = False
     loss_type: str = "hinge"
     compute_dtype: str = "float32"
+    use_w_packed: bool = True
 
     def setup(self):
         self.discriminators = MultiScaleSTFTDiscriminator(
@@ -180,22 +200,16 @@ class EncodecDiscriminator(nn.Module):
             out_channels=self.out_channels, n_ffts=self.n_ffts,
             hop_lengths=self.hop_lengths, win_lengths=self.win_lengths,
             compute_dtype=self.compute_dtype,
+            use_w_packed=self.use_w_packed,
         )
 
     def __call__(self, x):
         return self.discriminators(x)
 
     def loss(self, reals, fakes):
-        # one forward at batch 2B: convs/STFTs are per-sample, so stacking
-        # [reals; fakes] is exact and doubles MXU occupancy vs two passes
-        B = reals.shape[0]
-        logits, features = self.discriminators(
-            jnp.concatenate([reals, fakes], axis=0)
+        (logits_true, feature_true), (logits_fake, feature_fake) = (
+            stacked_real_fake(self.discriminators, reals, fakes)
         )
-        logits_true = [l[:B] for l in logits]
-        logits_fake = [l[B:] for l in logits]
-        feature_true = [[f[:B] for f in fs] for fs in features]
-        feature_fake = [[f[B:] for f in fs] for fs in features]
 
         # feature maps may be bf16 (compute_dtype): reduce in f32
         if self.normalize_losses:
@@ -451,12 +465,7 @@ class DACGANLoss(nn.Module):
         return self._all(x)
 
     def loss(self, reals, fakes):
-        # single batched forward over [reals; fakes] (exact; see
-        # EncodecDiscriminator.loss)
-        B = reals.shape[0]
-        d_both = self._all(jnp.concatenate([reals, fakes], axis=0))
-        d_real = [[f[:B] for f in fmap] for fmap in d_both]
-        d_fake = [[f[B:] for f in fmap] for fmap in d_both]
+        d_real, d_fake = stacked_real_fake(self._all, reals, fakes)
         dis_loss = 0.0
         adv_loss = 0.0
         fm = 0.0
@@ -500,6 +509,15 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
             # per-octave hops must stay integral (CQT2010 constraint)
             while hop % (2 ** (n_oct - 1)) != 0:
                 n_oct -= 1
+            if n_oct != self.n_octaves[si]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "CQT discriminator scale %d: hop %d only supports %d "
+                    "octaves (requested %d) — use a hop divisible by "
+                    "2**(n_octaves-1) to keep the full range", si, hop,
+                    n_oct, self.n_octaves[si],
+                )
             flat = x.reshape(B * C, T)
             re, im = _cqt(flat, self.sample_rate, hop, fmin=self.fmin,
                           n_octaves=n_oct,
@@ -522,14 +540,9 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
         return logits, fmaps
 
     def loss(self, reals, fakes):
-        # single batched forward over [reals; fakes] (exact; see
-        # EncodecDiscriminator.loss)
-        B = reals.shape[0]
-        l_both, f_both = self(jnp.concatenate([reals, fakes], axis=0))
-        l_true = [l[:B] for l in l_both]
-        l_fake = [l[B:] for l in l_both]
-        f_true = [[f[:B] for f in fs] for fs in f_both]
-        f_fake = [[f[B:] for f in fs] for fs in f_both]
+        (l_true, f_true), (l_fake, f_fake) = stacked_real_fake(
+            self, reals, fakes
+        )
         dis_loss = 0.0
         adv_loss = 0.0
         fm = 0.0

@@ -276,8 +276,9 @@ class WNConv2d(nn.Module):
             assert not isinstance(self.padding, str)
             pt, pw = self.padding
             assert (self.stride == (1, 1) and self.dilation[1] == 1
-                    and pw == (kw - 1) // 2), (
-                "w_packed needs stride 1 / w-dilation 1 / same w-padding")
+                    and kw % 2 == 1 and pw == (kw - 1) // 2), (
+                "w_packed needs stride 1 / w-dilation 1 / odd kw with same "
+                "w-padding (even kw would change the output width)")
             kp, ul, ur = _pack_kernel_w(kernel, pw)
             out = jax.lax.conv_general_dilated(
                 x.astype(dtype),

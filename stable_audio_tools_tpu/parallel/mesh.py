@@ -160,6 +160,55 @@ def tp_param_sharding(params, mesh: Mesh, rules: tp.Sequence[tp.Tuple[str, P]] =
     )
 
 
+def tp_zero_opt_sharding(opt_state, mesh: Mesh,
+                         rules: tp.Sequence[tp.Tuple[str, P]] = ()):
+    """Optimizer-state sharding under tensor parallelism: moment leaves whose
+    paths match the TP rules keep the TP spec (with a free axis additionally
+    ZeRO-split over 'data' when divisible); unmatched leaves ZeRO-shard over
+    'data' like the pure-DP path. Scalars/indivisible arrays replicate."""
+    import re
+
+    data_size = mesh.shape["data"]
+
+    def zero_axis(parts, shape):
+        parts = list(parts) + [None] * (len(shape) - len(parts))
+        for i, (p, s) in enumerate(zip(parts, shape)):
+            if p is None and s > 0 and s % data_size == 0:
+                parts[i] = "data"
+                break
+        return P(*parts)
+
+    def spec_for(path, x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return NamedSharding(mesh, P())
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        for pattern, spec in rules:
+            if re.search(pattern, path_str):
+                try:
+                    candidate = zero_axis(tuple(spec), x.shape)
+                    NamedSharding(mesh, candidate).shard_shape(x.shape)
+                    return NamedSharding(mesh, candidate)
+                except Exception:
+                    try:
+                        NamedSharding(mesh, spec).shard_shape(x.shape)
+                        return NamedSharding(mesh, spec)
+                    except Exception:
+                        break
+        candidate = zero_axis((), x.shape)
+        try:
+            NamedSharding(mesh, candidate).shard_shape(x.shape)
+            return NamedSharding(mesh, candidate)
+        except Exception:
+            return NamedSharding(mesh, P())
+
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    specs = {tuple(p): spec_for(p, x) for p, x in flat}
+    treedef = jax.tree_util.tree_structure(opt_state)
+    return jax.tree_util.tree_unflatten(
+        treedef, [specs[tuple(p)] for p, _ in flat]
+    )
+
+
 DIT_TP_RULES = (
     # attention projections: shard output features over 'model'
     (r"to_qkv/kernel", P(None, "model")),

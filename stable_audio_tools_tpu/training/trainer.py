@@ -123,10 +123,15 @@ class Trainer:
             placed = placed.replace(**{pn: place(p)})
             o = getattr(state, on, None)
             if o is not None:
-                placed = placed.replace(**{on: (
-                    place(o) if tp_active else jax.device_put(
-                        o, zero_shard_opt_state(o, self.mesh))
-                )})
+                if tp_active:
+                    # TP-matched moments keep the TP spec (plus a 'data'
+                    # ZeRO split on a free axis); the rest ZeRO-shard
+                    from ..parallel.mesh import tp_zero_opt_sharding
+
+                    spec = tp_zero_opt_sharding(o, self.mesh, self.tp_rules)
+                else:
+                    spec = zero_shard_opt_state(o, self.mesh)
+                placed = placed.replace(**{on: jax.device_put(o, spec)})
         if getattr(state, "ema_params", None) is not None:
             placed = placed.replace(ema_params=place(state.ema_params))
         if getattr(state, "head_params", None) is not None:  # ARC disc heads
@@ -164,7 +169,7 @@ class Trainer:
             raise ValueError("state must be provided (use wrapper.init_state)")
         if ckpt_path is not None:
             state = self.restore(state, ckpt_path)
-        state = self._place_state(state) if not is_gan else state
+        state = self._place_state(state)
         if not is_gan:
             train_step = wrapper.make_train_step(accum_steps=self.accum_batches)
             # donated state: lets XLA update params/moments in place instead
@@ -235,9 +240,13 @@ class Trainer:
                     vals = []
                     for v_audio, v_meta in val_dataloader:
                         v_batch = self._prepare_batch(v_audio, v_meta)
+                        # the GAN wrapper's val_step takes raw audio, the
+                        # diffusion/LM ones take the batch dict
+                        v_in = v_batch["audio"] if is_gan else v_batch
+                        val_rng = jax.random.fold_in(
+                            jax.random.fold_in(rng, 0x76616C), step)
                         with mesh_ctx():
-                            vals.append(val_step(state, v_batch,
-                                                 jax.random.fold_in(rng, -step)))
+                            vals.append(val_step(state, v_in, val_rng))
                     if vals and self.rank == 0:
                         avg = {
                             k: float(np.mean([float(v[k]) for v in vals]))
