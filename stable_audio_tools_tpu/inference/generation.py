@@ -173,7 +173,7 @@ def generate_diffusion_uncond(
         "uncond", steps, sampler_type, float(sigma_min), float(sigma_max),
         float(rho), shape, bool(return_latents), diff_obj,
         init_data is not None, tuple(sorted(sampler_kwargs.items())),
-        bool(chunk_kwargs), mesh is not None,
+        bool(chunk_kwargs), mesh,  # Mesh is hashable; axis names/devices key
     )
 
     def build(variables, noise, init_data, rng):
@@ -303,7 +303,7 @@ def generate_diffusion_cond(
         float(rho), float(cfg_scale), float(scale_phi), tuple(cfg_interval),
         shape, bool(return_latents), diff_obj, neg_struct,
         init_data is not None, tuple(sorted(sampler_kwargs.items())),
-        bool(chunk_kwargs), bool(preview), mesh is not None,
+        bool(chunk_kwargs), bool(preview), mesh,
     )
     if preview:
         sampler_kwargs = dict(sampler_kwargs,
@@ -457,12 +457,19 @@ def generate_diffusion_cond_inpaint(
     if mesh is not None:
         variables, noise = _place_for_mesh(variables, noise, mesh, tp_rules)
 
+    diff_obj = getattr(model, "diffusion_objective", "v")
+    dist_shift = _get_dist_shift(model, shape[-1])
+    if diff_obj in ("rectified_flow", "rf_denoiser") and sampler_type in (
+        "dpmpp-3m-sde", "dpmpp-2m-sde",
+    ):
+        sampler_type = "euler"  # objective-appropriate default
+
     chunk_kwargs = _chunk_decode_kwargs(model, mesh)
     key = (
         "inpaint", steps, sampler_type, float(sigma_min), float(sigma_max),
         float(rho), float(cfg_scale), float(scale_phi), tuple(cfg_interval),
-        shape, bool(return_latents),
-        tuple(sorted(sampler_kwargs.items())), bool(chunk_kwargs), bool(preview), mesh is not None,
+        shape, bool(return_latents), diff_obj,
+        tuple(sorted(sampler_kwargs.items())), bool(chunk_kwargs), bool(preview), mesh,
     )
     if preview:
         sampler_kwargs = dict(sampler_kwargs,
@@ -481,11 +488,21 @@ def generate_diffusion_cond_inpaint(
                 **kw,
             )
 
-        out = sample_k(
-            model_fn, noise, steps=steps, sampler_type=sampler_type,
-            sigma_min=sigma_min, sigma_max=sigma_max, rho=rho,
-            rng=jax.random.fold_in(rng, 1), **sampler_kwargs,
-        )
+        sampler_rng = jax.random.fold_in(rng, 1)
+        if diff_obj == "v":
+            out = sample_k(
+                model_fn, noise, steps=steps, sampler_type=sampler_type,
+                sigma_min=sigma_min, sigma_max=sigma_max, rho=rho,
+                rng=sampler_rng, **sampler_kwargs,
+            )
+        elif diff_obj in ("rectified_flow", "rf_denoiser"):
+            out = sample_rf(
+                model_fn, noise, steps=steps, sampler_type=sampler_type,
+                sigma_max=min(sigma_max, 1.0), dist_shift=dist_shift,
+                rng=sampler_rng, **sampler_kwargs,
+            )
+        else:
+            raise ValueError(f"Unknown diffusion objective {diff_obj}")
         if not return_latents and model.pretransform is not None:
             out = model.apply(
                 variables, out, method=model.pretransform_decode,

@@ -183,7 +183,10 @@ class AudioLanguageModelWrapper(nn.Module):
 
     def lm_forward(self, sequence, cross_attn_cond=None, cond_tensors=None,
                    caches=None, cache_index=None, **kwargs):
-        """Direct LM forward (used by the cached decode path)."""
+        """Direct LM forward. With caches, plain variables work (interleaved
+        kernel path); lm_generate_cached additionally pre-permutes kernels
+        to the concat layout (permute_fused_kernels_to_concat) for speed —
+        the layout marker in those variables selects the fast read."""
         return self.lm(sequence, cross_attn_cond=cross_attn_cond,
                        caches=caches, cache_index=cache_index, **kwargs)
 
@@ -213,29 +216,43 @@ def permute_fused_kernels_to_concat(variables, num_heads: int, dim_heads: int):
     (ops/attention.py::InterleavedFusedProj, ops/transformer.py::_PairedProj).
 
     Permutes self_attn/to_qkv ([h][q|k|v][dh] -> [q|k|v]) and
-    ff/linear_in/proj ((x_j, gate_j) pairs -> [x | gate]) on every
-    transformer layer. Cross-attention kernels are untouched (they only run
-    outside the scan, via precomputed KV)."""
+    ff/linear_in/proj ((x_j, gate_j) pairs -> [x | gate]) on every BACKBONE
+    transformer layer (pretransform/conditioner towers are untouched, like
+    quantize_decode_kernels_int8). Cross-attention kernels are untouched
+    (they only run outside the scan, via precomputed KV).
+
+    Each permuted module also gets a `layout/concat` marker variable; the
+    decode-path projections (ops/attention.py::InterleavedFusedProj,
+    ops/transformer.py::_PairedProj) only read the concat layout when that
+    marker is present, so UNpermuted variables passed to lm_forward(caches=…)
+    still compute correctly through the interleaved path."""
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(variables["params"])
     qkv_width = 3 * num_heads * dim_heads
     out = {}
+    layout = {}
     for path, w in flat.items():
+        if "backbone" not in path:
+            out[path] = w
+            continue
         if (path[-2] == "to_qkv" and path[-1] == "kernel"
                 and "self_attn" in path and w.shape[-1] == qkv_width):
             d = w.shape[0]
             w = (w.reshape(d, num_heads, 3, dim_heads)
                  .transpose(0, 2, 1, 3).reshape(d, qkv_width))
+            layout[path[:-1] + ("concat",)] = True
         elif (path[-2] == "proj" and "ff" in path and "linear_in" in path):
             if path[-1] == "kernel":
                 d, two_inner = w.shape
                 w = (w.reshape(d, two_inner // 2, 2)
                      .transpose(0, 2, 1).reshape(d, two_inner))
+                layout[path[:-1] + ("concat",)] = True
             elif path[-1] == "bias":
                 w = w.reshape(-1, 2).transpose(1, 0).reshape(-1)
         out[path] = w
-    return {**variables, "params": traverse_util.unflatten_dict(out)}
+    return {**variables, "params": traverse_util.unflatten_dict(out),
+            "layout": traverse_util.unflatten_dict(layout)}
 
 
 def quantize_decode_kernels_int8(variables):

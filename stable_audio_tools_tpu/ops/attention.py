@@ -97,6 +97,16 @@ class InterleavedFusedProj(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (din, self.features),
             jnp.float32,
         )
+        # the concat layout is a property of the VARIABLES, not the call
+        # site: only honor it when permute_fused_kernels_to_concat stamped
+        # its layout marker (unpermuted variables fall back to the exact
+        # interleaved path, just without the contiguous-read speedup)
+        if concat_kernel and not self.has_variable("layout", "concat"):
+            concat_kernel = False
+        # int8 decode kernels are only dequantized on the concat path
+        assert concat_kernel or not self.has_variable("params", "kernel_scale"), (
+            "int8-quantized kernel reached the interleaved path — apply "
+            "permute_fused_kernels_to_concat before quantize_decode_kernels_int8")
         heads = self.features // (self.n_fused * self.dim_heads)
         if raw_interleaved:
             # one matmul, no unpacking: the fused flash kernel reads q/k/v

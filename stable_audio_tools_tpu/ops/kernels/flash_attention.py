@@ -210,6 +210,9 @@ def _flash_forward_pk(q, k, v, kp, vp, prefix_len, block_q=512, block_k=512):
     vf = _pad_seq(v, N_pad).reshape(B * H, N_pad, D)
     P = kp.shape[2]
     P_pad = 128  # one lane tile; prefix_split_profitable caps P at 64
+    assert P <= P_pad, (
+        f"flash_attention_prefix supports prefix_len <= {P_pad}, got {P}; "
+        "use flash_attention on the full sequence instead")
     kpf = _pad_seq(kp, P_pad).reshape(B * H, P_pad, D)
     vpf = _pad_seq(vp, P_pad).reshape(B * H, P_pad, D)
 
@@ -447,6 +450,17 @@ def _flash_forward(q, k, v, causal, window, block_q=512, block_k=512):
     return out, lse  # lse stays flat/padded: [B*H, N_pad, 1]
 
 
+def _pad_lse(lse_flat, N, causal, window, block_q=512, block_k=512):
+    """Re-pad a [B*H, N, 1] lse to the padded length _flash_backward's full
+    BlockSpecs read. Zero-pad rows are harmless: dO is zero there, so their
+    dK/dV contributions vanish and their dQ rows are sliced away."""
+    w_left, w_right = (-1, -1) if window is None else window
+    _, _, n_pad = _pick_blocks(N, causal, w_left, w_right, block_q, block_k)
+    if n_pad != N:
+        lse_flat = jnp.pad(lse_flat, ((0, 0), (0, n_pad - N), (0, 0)))
+    return lse_flat
+
+
 def _flash_backward(q, k, v, o, lse, g, causal, window,
                     block_q=512, block_k=512, fused=True):
     B, H, N, D = q.shape
@@ -454,6 +468,12 @@ def _flash_backward(q, k, v, o, lse, g, causal, window,
     w_left, w_right = (-1, -1) if window is None else window
     block_q, block_k, N_pad = _pick_blocks(N, causal, w_left, w_right,
                                            block_q, block_k)
+    # the fused single-pass kernel holds full-length q/do/lse/dsum blocks
+    # plus an fp32 dq accumulator in VMEM; past ~8 MiB of resident blocks
+    # fall back to the blocked two-pass kernels (long sliding-window seqs)
+    fused_bytes = N_pad * D * (4 + 2 * q.dtype.itemsize) + 12 * N_pad
+    if fused and fused_bytes > 8 * 2 ** 20:
+        fused = False
     qf = _pad_seq(q, N_pad).reshape(B * H, N_pad, D)
     kf = _pad_seq(k, N_pad).reshape(B * H, N_pad, D)
     vf = _pad_seq(v, N_pad).reshape(B * H, N_pad, D)
@@ -656,12 +676,7 @@ def _prefix_bwd(prefix_len, res, g):
     # backward applies unchanged (fwd keeps the 2x win; bwd cost is as before)
     q, k, v, o, lse = res
     B, H, N, _ = q.shape
-    _, _, n_pad = _pick_blocks(N, False, -1, -1, 512, 512)
-    lse_flat = lse.reshape(B * H, N, 1)
-    if n_pad != N:
-        # zero-pad rows are harmless: dO is zero there, so their dK/dV
-        # contributions vanish and their dQ rows are sliced away
-        lse_flat = jnp.pad(lse_flat, ((0, 0), (0, n_pad - N), (0, 0)))
+    lse_flat = _pad_lse(lse.reshape(B * H, N, 1), N, False, None)
     return _flash_backward(q, k, v, o, lse_flat, g, False, None)
 
 
@@ -840,7 +855,11 @@ def _fused_fwd(qkv, cos, sin, causal, window):
 def _fused_bwd(causal, window, res, g):
     qkv, cos, sin, out, lse = res
     # cheap elementwise unpack+rope re-run; the heavy matmul backward reuses
-    # the fused single-pass kernel on the unpacked tensors
+    # the fused single-pass kernel on the unpacked tensors. lse comes back
+    # sliced to N — re-pad it to the padded-length BlockSpec the backward
+    # reads (undefined pad rows would otherwise poison dK/dV with inf*0).
+    N = qkv.shape[1]
+    lse = _pad_lse(lse, N, causal, window)
     if cos is None:
         (q, k, v), vjp_unpack = jax.vjp(
             lambda qkv: _fused_unpack_rope(qkv, None, None), qkv

@@ -64,8 +64,6 @@ def _ln_forward(x, gamma, beta, eps):
         args.append(beta.reshape(1, C))
         in_specs.append(
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        # keep operand order (x, gamma, beta)
-        args = [xf, g2, args[-1]]
     else:
         kernel = functools.partial(_ln_kernel, eps=eps, has_beta=False)
     out = pl.pallas_call(
@@ -135,13 +133,13 @@ def _fused_ln_beta(x, gamma, beta, eps):
 
 
 def _fln_b_fwd(x, gamma, beta, eps):
-    return _ln_forward(x, gamma, beta, eps), (x, gamma)
+    return _ln_forward(x, gamma, beta, eps), (x, gamma, beta)
 
 
 def _fln_b_bwd(eps, res, g):
-    x, gamma = res
+    x, gamma, beta = res
     dx, dgamma, dbeta = _ln_backward(x, gamma, g, eps)
-    return dx, dgamma, dbeta.astype(jnp.float32)
+    return dx, dgamma, dbeta.astype(beta.dtype)
 
 
 _fused_ln_beta.defvjp(_fln_b_fwd, _fln_b_bwd)

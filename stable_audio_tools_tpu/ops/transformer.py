@@ -62,6 +62,14 @@ class _PairedProj(nn.Module):
                             (din, self.dim_out * 2), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.dim_out * 2,), jnp.float32)
+        # honor the concat layout only when the variables were actually
+        # permuted (layout marker from permute_fused_kernels_to_concat) —
+        # see InterleavedFusedProj
+        if concat_kernel and not self.has_variable("layout", "concat"):
+            concat_kernel = False
+        assert concat_kernel or not self.has_variable("params", "kernel_scale"), (
+            "int8-quantized kernel reached the paired path — apply "
+            "permute_fused_kernels_to_concat before quantize_decode_kernels_int8")
         if concat_kernel:
             # KV-cached decode: kernel pre-permuted to [x | gate] concat
             # layout outside the scan (models/lm.py) — one contiguous weight

@@ -192,3 +192,31 @@ def test_gqa_repeat_flash_grads_match_xla():
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_qkv_grads_non_aligned_length():
+    """N not a multiple of the block size: the backward must re-pad the
+    sliced lse before reading it through padded BlockSpecs (regression for
+    NaN grads from undefined lse pad rows)."""
+    from stable_audio_tools_tpu.ops.kernels.flash_attention import (
+        flash_attention_fused_qkv)
+
+    rng = np.random.RandomState(6)
+    B, N, H, D = 1, 300, 2, 64
+    qkv = jnp.asarray(rng.randn(B, N, H, 3, D).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+
+    def loss_fused(qkv):
+        return jnp.sum(w * flash_attention_fused_qkv(qkv, None, None) ** 2)
+
+    def loss_ref(qkv):
+        q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
+        return jnp.sum(w * dot_product_attention(q, k, v) ** 2)
+
+    g_fused = jax.grad(loss_fused)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    assert bool(jnp.all(jnp.isfinite(g_fused)))
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)

@@ -214,3 +214,55 @@ def test_lm_generate_cached_int8_weight_quant(lm_setup):
     # greedy decode on a random-init model is the worst case for quant
     # noise; require substantial (not exact) agreement
     assert agree > 0.5, f"greedy token agreement {agree}"
+
+
+def test_concat_kernel_requires_layout_marker():
+    """concat_kernel=True on UNpermuted variables must fall back to the
+    exact interleaved path (the layout marker, not the call site, selects
+    the concat read) — regression for silent layout corruption via
+    lm_forward(caches=...) with plain variables."""
+    from stable_audio_tools_tpu.ops.attention import InterleavedFusedProj
+
+    h, dh = 4, 8
+    m = InterleavedFusedProj(3 * h * dh, 3, dh)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 16).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(params, x)  # interleaved layout, explicit split path
+
+    # no marker: concat request is ignored, result identical
+    got = m.apply(params, x, concat_kernel=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # permuted kernel + marker: concat fast path, same values
+    k = params["params"]["kernel"]
+    din = k.shape[0]
+    kc = (k.reshape(din, h, 3, dh).transpose(0, 2, 1, 3)
+          .reshape(din, 3 * h * dh))
+    vars2 = {"params": {"kernel": kc}, "layout": {"concat": True}}
+    got2 = m.apply(vars2, x, concat_kernel=True)
+    for a, b in zip(got2, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_permute_fused_kernels_skips_non_backbone_and_stamps_layout():
+    from stable_audio_tools_tpu.models.lm import permute_fused_kernels_to_concat
+
+    k_bb = jnp.arange(16 * 24, dtype=jnp.float32).reshape(16, 24)
+    k_codec = k_bb + 1000.0
+    variables = {"params": {
+        "backbone": {"layers_0": {"self_attn": {"to_qkv": {"kernel": k_bb}}}},
+        "pretransform": {"blk": {"self_attn": {"to_qkv": {"kernel": k_codec}}}},
+    }}
+    out = permute_fused_kernels_to_concat(variables, num_heads=2, dim_heads=4)
+    # codec kernel untouched
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["pretransform"]["blk"]["self_attn"]["to_qkv"]["kernel"]),
+        np.asarray(k_codec))
+    # backbone kernel permuted + marker stamped at the same module path
+    assert not np.array_equal(
+        np.asarray(out["params"]["backbone"]["layers_0"]["self_attn"]["to_qkv"]["kernel"]),
+        np.asarray(k_bb))
+    assert out["layout"]["backbone"]["layers_0"]["self_attn"]["to_qkv"]["concat"]

@@ -128,3 +128,47 @@ def test_generate_inpaint():
 
     m = np.asarray(build_mask(64, {"maskstart": 16, "maskend": 48}))
     assert m[0] == 1 and m[20] == 0 and m[-1] == 1
+
+
+def test_generate_inpaint_rectified_flow():
+    """Inpainting must dispatch on diffusion_objective (regression: RF
+    models previously ran through the v-objective k-diffusion wrapper)."""
+    from stable_audio_tools_tpu.inference.generation import (
+        generate_diffusion_cond_inpaint,
+    )
+
+    inpaint_cfg = {**CFG, "model_type": "diffusion_cond_inpaint"}
+    inpaint_cfg["model"] = dict(CFG["model"])
+    inpaint_cfg["model"]["diffusion"] = {
+        **CFG["model"]["diffusion"],
+        "diffusion_objective": "rectified_flow",
+        "input_concat_ids": [],
+        "config": {**CFG["model"]["diffusion"]["config"], "input_concat_dim": 3},
+    }
+    model = create_model_from_config(inpaint_cfg)
+    assert model.diffusion_objective == "rectified_flow"
+    mc = model._multi_conditioner
+    prepared = jax.tree_util.tree_map(
+        jnp.asarray, mc.gather_inputs([{"seconds_total": 10}])
+    )
+    x = jnp.zeros((1, 2, 64))
+    t = jnp.ones((1,))
+    cat = jnp.zeros((1, 3, 64))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+         "cfg": jax.random.PRNGKey(2)},
+        x, t, cond=prepared, input_concat_cond=cat, method=model.init_full,
+    )
+    init_audio = (16000, np.random.RandomState(1).randn(2, 256).astype(np.float32))
+    # default sampler_type dpmpp-3m-sde must be remapped for RF, like
+    # generate_diffusion_cond does
+    out = generate_diffusion_cond_inpaint(
+        model, variables, steps=2, cfg_scale=1.0,
+        conditioning=[{"seconds_total": 10}],
+        sample_size=64, seed=0, init_audio=init_audio,
+        mask_args={"maskstart": 16, "maskend": 48, "softnessL": 0.1,
+                   "softnessR": 0.1},
+        return_latents=True,
+    )
+    assert out.shape == (1, 2, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
