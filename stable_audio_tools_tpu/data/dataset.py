@@ -76,7 +76,13 @@ def remove_long_silence(audio: np.ndarray, sample_rate: int,
                         max_silence_duration: float = 0.25) -> np.ndarray:
     """Collapse runs of silence longer than max_silence_duration down to a
     short (silence_duration_threshold-long) excerpt (reference
-    dataset.py:490-550). audio: [1, T] or [T] → [1, T']."""
+    dataset.py:490-550). audio: [1, T] or [T] → [1, T'].
+
+    NOTE (reference parity, quirk included): the kept excerpt is
+    `silence_duration_threshold` long (default 0.5 s), which EXCEEDS the
+    default 0.25 s `max_silence_duration` trigger — runs between the two
+    survive whole and long runs collapse to 0.5 s, exactly as the
+    reference's :531-538 does."""
     energy_thresh, duration_thresh = silence_threshold
     max_sil = int(max_silence_duration * sample_rate)
     tiny_sil = int(duration_thresh * sample_rate)
@@ -307,7 +313,14 @@ class LocalTarDataset:
         remove_silence: bool = False,
         silence_threshold=(0.01, 0.5),
         max_silence_duration: float = 0.25,
+        resample: bool = False,
     ):
+        # resample=True: loop shards forever, reshuffling per pass (the
+        # reference's wds.ResampledShards semantics, :689). REQUIRED for
+        # multi-host training: per-sample drops (silence/__reject__) make
+        # per-rank batch counts diverge, and a finite stream would leave
+        # one rank's epoch ending before another's.
+        self.resample = resample
         self.shards = sorted(shard_paths)[process_index::process_count]
         self.sample_rate = sample_rate
         self.remove_silence = remove_silence
@@ -354,6 +367,12 @@ class LocalTarDataset:
         return tarfile.open(shard)
 
     def __iter__(self):
+        while True:
+            yield from self._iter_once()
+            if not self.resample:
+                return
+
+    def _iter_once(self):
         shards = list(self.shards)
         if self.shuffle:
             random.shuffle(shards)
@@ -484,8 +503,13 @@ class DataLoader:
             # as torch's DistributedSampler) so EVERY rank yields the same
             # number of batches — unequal counts would leave the last
             # collective of an epoch waiting on an exhausted rank forever
-            pad = -len(indices) % self.process_count
-            indices = indices + indices[:pad]
+            target = -(-max(len(indices), 1) // self.process_count) * self.process_count
+            if indices:
+                # repeat the whole list as many times as needed: datasets
+                # smaller than process_count must still give every rank at
+                # least one index (torch DistributedSampler semantics)
+                reps = -(-target // len(indices))
+                indices = (indices * reps)[:target]
             indices = indices[self.process_index::self.process_count]
         n_batches = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:
@@ -606,6 +630,10 @@ def create_dataloader_from_config(
                                                  (0.01, 0.5)),
             max_silence_duration=dataset_config.get("max_silence_duration",
                                                     0.25),
+            # multi-host REQUIRES the infinite resampled stream: per-sample
+            # drops make per-rank batch counts diverge on a finite one.
+            # Single-host defaults to one pass per epoch (configurable).
+            resample=dataset_config.get("resample_shards", pc > 1),
         )
         return DataLoader(dataset, batch_size, shuffle=shuffle,
                           num_workers=num_workers)

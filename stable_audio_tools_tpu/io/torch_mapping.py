@@ -85,7 +85,7 @@ def _lin_glu(sd, name):
 
 
 def import_transformer_block(sd, prefix: str, cross_attend: bool,
-                             dim_heads: int = 64) -> dict:
+                             dim_heads: int) -> dict:
     """reference models/transformer.py TransformerBlock → our TransformerBlock."""
     p = {}
     p["pre_norm"] = {"gamma": sd[f"{prefix}.pre_norm.gamma"].astype(np.float32)}
@@ -126,7 +126,7 @@ def import_transformer_block(sd, prefix: str, cross_attend: bool,
 
 def import_continuous_transformer(sd, prefix: str, depth: int,
                                   cross_attend: bool,
-                                  dim_heads: int = 64) -> dict:
+                                  dim_heads: int) -> dict:
     p = {}
     if f"{prefix}.project_in.weight" in sd:
         p["project_in"] = _lin(sd, f"{prefix}.project_in")
@@ -143,7 +143,7 @@ def import_continuous_transformer(sd, prefix: str, depth: int,
 
 
 def import_dit(sd, prefix: str, depth: int, cross_attend: bool = True,
-               dim_heads: int = 64) -> dict:
+               *, dim_heads: int) -> dict:
     """reference models/dit.py DiffusionTransformer → our DiffusionTransformer."""
     p = {}
     p["timestep_features"] = {
@@ -427,7 +427,7 @@ def import_adp_unet_cfg(sd, prefix: str, factors: tp.Sequence[int],
 
 
 def export_transformer_block(p: dict, prefix: str, out: dict,
-                             dim_heads: int = 64):
+                             dim_heads: int):
     out[f"{prefix}.pre_norm.gamma"] = np.asarray(p["pre_norm"]["gamma"])
     out[f"{prefix}.ff_norm.gamma"] = np.asarray(p["ff_norm"]["gamma"])
     out[f"{prefix}.self_attn.to_qkv.weight"] = _deinterleave_fused(
@@ -455,7 +455,7 @@ def export_transformer_block(p: dict, prefix: str, out: dict,
 
 
 def export_dit_state_dict(dit_params: dict, prefix: str = "model.model.",
-                          dim_heads: int = 64) -> dict:
+                          *, dim_heads: int) -> dict:
     out: dict = {}
     p = dit_params
     out[f"{prefix}timestep_features.weight"] = np.asarray(

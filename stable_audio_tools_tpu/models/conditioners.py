@@ -557,6 +557,15 @@ class CLAPTextConditioner(HostConditioner):
             )
         hid = model.config.hidden_size
         rng = np.random.RandomState(0)
+        if proj_w1 is None and self.clap_ckpt_path and not self.allow_random_init:
+            # a loaded checkpoint without a recognizable projection would
+            # silently produce garbage embeddings through random matrices
+            raise RuntimeError(
+                f"CLAP checkpoint {self.clap_ckpt_path} has no "
+                "text_projection.*/text_branch_projection.* keys; refusing "
+                "to random-init the projection (set allow_random_init=True "
+                "to override)."
+            )
         if proj_w1 is None:
             proj_w1 = (rng.randn(hid, 512) / np.sqrt(hid)).astype(np.float32)
             proj_w2 = (rng.randn(512, 512) / np.sqrt(512)).astype(np.float32)

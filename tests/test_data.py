@@ -322,3 +322,44 @@ def test_multihost_rank_sharding_equal_batch_counts(tmp_path):
                         process_index=rank, process_count=2, seed=3)
         counts.append(sum(1 for _ in dl))
     assert counts[0] == counts[1] == 2  # 8 padded indices -> 4 each -> 2 batches
+
+
+def test_dataloader_pad_equalizes_tiny_dataset():
+    """Datasets smaller than process_count must still give EVERY rank the
+    same number of batches (multi-host collective alignment)."""
+    from stable_audio_tools_tpu.data.dataset import DataLoader
+
+    class TwoItems:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return np.full((1, 4), float(i), np.float32), {"i": i}
+
+    counts = []
+    for rank in range(8):
+        dl = DataLoader(TwoItems(), batch_size=1, shuffle=False,
+                        num_workers=1, process_index=rank, process_count=8)
+        counts.append(sum(1 for _ in dl))
+    assert counts == [1] * 8, counts
+
+
+def test_tar_dataset_resample_loops_forever(tmp_path):
+    import tarfile
+    from stable_audio_tools_tpu.data.dataset import LocalTarDataset
+    from stable_audio_tools_tpu.data.wav import save_wav
+
+    sr = 16000
+    shard = tmp_path / "loop.tar"
+    with tarfile.open(shard, "w") as tf:
+        wav_path = tmp_path / "a.wav"
+        save_wav(str(wav_path),
+                 np.random.RandomState(0).randn(2, sr).astype(np.float32) * 0.1,
+                 sr)
+        tf.add(wav_path, arcname="0000.wav")
+    ds = LocalTarDataset([str(shard)], sample_size=8000, sample_rate=sr,
+                         shuffle=False, resample=True)
+    it = iter(ds)
+    # one underlying sample, but the resampled stream keeps producing
+    got = [next(it) for _ in range(5)]
+    assert len(got) == 5
