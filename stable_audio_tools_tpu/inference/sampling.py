@@ -727,17 +727,24 @@ def sample_k(
             base_fn = model_fn
 
             def model_fn(x, t, **kwargs):
-                v = base_fn(x, t, **kwargs)
+                out = base_fn(x, t, **kwargs)
+                # cfg++ calls with return_info=True and gets (v, info) back
+                v = out[0] if isinstance(out, tuple) else out
                 a, s = t_to_alpha_sigma(t)
                 sh = (-1,) + (1,) * (x.ndim - 1)
                 import jax.experimental
 
+                # stream the k-space sigma = tan(t*pi/2) so preview
+                # consumers can use one sigma->t conversion for all
+                # v-objective taps (interface/gradio.py)
+                # clip below 1: f32 tan(pi/2) wraps to a huge NEGATIVE value
+                t_lbl = jnp.minimum(jnp.max(t), 0.9999)
                 jax.experimental.io_callback(
                     denoised_tap, None,
                     x * a.reshape(sh) - v * s.reshape(sh),
-                    jnp.max(jnp.broadcast_to(t, (1,))), ordered=True,
+                    jnp.tan(t_lbl * (math.pi / 2)), ordered=True,
                 )
-                return v
+                return out
 
         return sample(model_fn, x, steps, eta=0.0, sigma_max=sigma_max, cfg_pp=cfg_pp,
                       rng=rng, **extra_args)

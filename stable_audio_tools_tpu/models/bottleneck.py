@@ -381,7 +381,8 @@ class RVQBottleneck(Bottleneck):
 
     def decode_tokens(self, codes, train=False):
         """codes: [B, Q, T] reference layout (or [B, T, Q])."""
-        if codes.shape[-1] != self.num_quantizers:
+        if codes.shape[1] == self.num_quantizers:
+            # axis 1 == Q: documented [B, Q, T] layout (wins when ambiguous)
             codes = jnp.swapaxes(codes, 1, 2)
         return self.decode(self.quantizer.get_outputs_from_indices(codes))
 
@@ -422,7 +423,8 @@ class RVQVAEBottleneck(Bottleneck):
         return x
 
     def decode_tokens(self, codes, train=False):
-        if codes.shape[-1] != self.num_quantizers:
+        if codes.shape[1] == self.num_quantizers:
+            # axis 1 == Q: documented [B, Q, T] layout (wins when ambiguous)
             codes = jnp.swapaxes(codes, 1, 2)
         return self.decode(self.quantizer.get_outputs_from_indices(codes))
 
@@ -571,7 +573,8 @@ class DACRVQBottleneck(Bottleneck):
 
         from_codes already yields quantized latents — never re-quantize, even
         with quantize_on_decode (reference pretransforms.py:224-226)."""
-        if codes.shape[-1] != self.n_codebooks:
+        if codes.shape[1] == self.n_codebooks:
+            # axis 1 == Q: documented [B, Q, T] layout (wins when ambiguous)
             codes = jnp.swapaxes(codes, 1, 2)
         return self._augment(self.quantizer.from_codes(codes))
 
@@ -603,7 +606,7 @@ class DACRVQVAEBottleneck(Bottleneck):
         info.update(
             {
                 "z": z,
-                "codes": codes,
+                "codes": jnp.swapaxes(codes, 1, 2),  # [B, Q, T] (dac layout)
                 "latents": latents,
                 "vq/commitment_loss": commitment / self.n_codebooks,
                 "vq/codebook_loss": codebook_loss / self.n_codebooks,
@@ -619,7 +622,8 @@ class DACRVQVAEBottleneck(Bottleneck):
         return x
 
     def decode_tokens(self, codes, train=False):
-        if codes.shape[-1] != self.n_codebooks:
+        if codes.shape[1] == self.n_codebooks:
+            # axis 1 == Q: documented [B, Q, T] layout (wins when ambiguous)
             codes = jnp.swapaxes(codes, 1, 2)
         # from_codes yields quantized latents; skip quantize_on_decode
         return self.quantizer.from_codes(codes)
@@ -715,7 +719,8 @@ class FSQBottleneck(Bottleneck):
     def decode_tokens(self, tokens, train=False):
         """tokens: [B, T, Q] or [B, Q, T] reference layout."""
         core = self._core()
-        if tokens.shape[-1] != self.num_codebooks:
+        if tokens.shape[1] == self.num_codebooks:
+            # axis 1 == Q: documented [B, Q, T] layout (wins when ambiguous)
             tokens = jnp.swapaxes(tokens, 1, 2)
         codes = core.indices_to_codes(tokens)
         B, T = codes.shape[:2]

@@ -238,20 +238,25 @@ class ARCTrainer:
         t[0], t[-1] = 1.0, 0.0
         noise = jax.random.normal(rng, latents.shape, latents.dtype)
 
-        def model_fn(x, tt, **kw):
-            return tm.apply(
-                tv, x, tt, cond_tensors=cond_tensors,
-                cfg_scale=self.ode_warmup_cfg,
-            )
-
         key = ("ode_traj", latents.shape)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda noise: sample_flow_dpmpp_w_intermediates(
+            # tv/cond_tensors MUST be jit arguments: closing over them would
+            # bake the FIRST refresh's params/conditioning into the cached
+            # executable (later refreshes silently no-ops) and break once
+            # the train step donates those buffers
+            def traj(tv, cond_tensors, noise):
+                def model_fn(x, tt, **kw):
+                    return tm.apply(
+                        tv, x, tt, cond_tensors=cond_tensors,
+                        cfg_scale=self.ode_warmup_cfg,
+                    )
+
+                return sample_flow_dpmpp_w_intermediates(
                     model_fn, noise, t.astype(np.float32)
                 )
-            )
-        return self._jit_cache[key](noise)
+
+            self._jit_cache[key] = jax.jit(traj)
+        return self._jit_cache[key](tv, cond_tensors, noise)
 
     def _ode_step_fn(self):
         def loss_fn(gen_params, diff_states, cond_tensors, rng):

@@ -151,3 +151,35 @@ def test_k_dpm_adaptive_matches_dense_reference_on_gaussian():
     )
     np.testing.assert_allclose(np.asarray(ada), np.asarray(ref),
                                rtol=0.02, atol=0.02)
+
+
+def test_v_ddim_denoised_tap_batch2_and_cfgpp():
+    """Preview taps on the v-ddim family must handle batch > 1 and the
+    cfg++ (return_info) calling convention (regression: broadcast_to(t,(1,))
+    crashed for [B]-shaped t; the tuple return broke the tap arithmetic)."""
+    from stable_audio_tools_tpu.inference.sampling import sample_k
+
+    frames = []
+
+    def tap(denoised, sigma):
+        frames.append((np.asarray(denoised).shape, float(sigma)))
+
+    def model_fn(x, t, **kwargs):
+        v = -0.1 * x
+        if kwargs.get("return_info"):
+            return v, {"cond_output": v}
+        return v
+
+    noise = jnp.asarray(np.random.RandomState(0).randn(2, 1, 32), jnp.float32)
+    for st in ("v-ddim", "v-ddim-cfgpp"):
+        frames.clear()
+        out = sample_k(model_fn, noise, steps=3, sampler_type=st,
+                       rng=jax.random.PRNGKey(0), denoised_tap=tap)
+        jax.block_until_ready(out)
+        assert out.shape == noise.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert len(frames) >= 3
+        assert all(s == (2, 1, 32) for s, _ in frames)
+        # k-space sigmas: positive, decreasing over the trajectory
+        sigs = [s for _, s in frames]
+        assert sigs[0] > sigs[-1] >= 0.0
