@@ -386,6 +386,8 @@ def generate_diffusion_cond_inpaint(
     cfg_scale: float = 6.0,
     conditioning=None,
     conditioning_tensors=None,
+    negative_conditioning: tp.Optional[tp.List[dict]] = None,
+    negative_conditioning_tensors=None,
     batch_size: int = 1,
     sample_size: int = 2097152,
     seed: int = -1,
@@ -453,6 +455,17 @@ def generate_diffusion_cond_inpaint(
     if conditioning_tensors is None and conditioning is not None:
         conditioning_tensors = compute_conditioning_tensors(model, variables, conditioning)
 
+    if negative_conditioning is not None or negative_conditioning_tensors is not None:
+        if negative_conditioning_tensors is None:
+            negative_conditioning_tensors = compute_conditioning_tensors(
+                model, variables, negative_conditioning
+            )
+        neg_inputs = model.get_conditioning_inputs(
+            negative_conditioning_tensors, negative=True
+        )
+    else:
+        neg_inputs = {}
+
     noise = jax.random.normal(jax.random.fold_in(rng, 0), shape)
     if mesh is not None:
         variables, noise = _place_for_mesh(variables, noise, mesh, tp_rules)
@@ -465,10 +478,11 @@ def generate_diffusion_cond_inpaint(
         sampler_type = "euler"  # objective-appropriate default
 
     chunk_kwargs = _chunk_decode_kwargs(model, mesh)
+    neg_struct = tuple(sorted(k for k, v in neg_inputs.items() if v is not None))
     key = (
         "inpaint", steps, sampler_type, float(sigma_min), float(sigma_max),
         float(rho), float(cfg_scale), float(scale_phi), tuple(cfg_interval),
-        shape, bool(return_latents), diff_obj,
+        shape, bool(return_latents), diff_obj, neg_struct,
         tuple(sorted(sampler_kwargs.items())), bool(chunk_kwargs), bool(preview), mesh,
     )
     if preview:
@@ -476,7 +490,7 @@ def generate_diffusion_cond_inpaint(
                               denoised_tap=get_preview_tap(model))
         getattr(model, "_preview_buffer").clear()
 
-    def build(variables, noise, cond_tensors, inpaint_cond, rng):
+    def build(variables, noise, cond_tensors, neg, inpaint_cond, rng):
         def model_fn(x, t, **kw):
             return model.apply(
                 variables, x, t,
@@ -485,6 +499,7 @@ def generate_diffusion_cond_inpaint(
                 scale_phi=scale_phi,
                 cfg_interval=tuple(cfg_interval),
                 input_concat_cond=inpaint_cond,
+                **neg,
                 **kw,
             )
 
@@ -512,5 +527,6 @@ def generate_diffusion_cond_inpaint(
         return out
 
     fn = _jit_cache(model, key, build)
+    neg_clean = {k: v for k, v in neg_inputs.items() if v is not None}
     return _call_with_mesh(fn, mesh, variables, noise, conditioning_tensors,
-                           inpaint_cond, rng)
+                           neg_clean, inpaint_cond, rng)

@@ -61,7 +61,7 @@ def save_output(audio: np.ndarray, sample_rate: int, file_format: str = "wav",
     os.makedirs(out_dir, exist_ok=True)
     wav_path = os.path.join(out_dir, f"{basename}.wav")
     peak = float(np.abs(audio).max()) or 1.0
-    save_wav(wav_path, (audio / peak).clip(-1, 1).T, sample_rate)
+    save_wav(wav_path, (audio / peak).clip(-1, 1), sample_rate)
     if file_format == "wav" or not file_format:
         return wav_path
 

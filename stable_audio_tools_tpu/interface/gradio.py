@@ -197,9 +197,13 @@ def generate_cond_fn(prompt, negative_prompt=None, seconds_start=0,
 
     def _prep(audio_sr):
         in_sr, audio = audio_sr
-        audio = np.asarray(audio, np.float32)
+        audio = np.asarray(audio)
+        # gradio's numpy audio arrives as int16 — rescale BEFORE any cast
         if audio.dtype == np.int16:
             audio = audio.astype(np.float32) / 32768.0
+        elif audio.dtype == np.int32:
+            audio = audio.astype(np.float32) / 2147483648.0
+        audio = audio.astype(np.float32)
         if audio.ndim == 1:
             audio = audio[None]
         elif audio.shape[0] > audio.shape[1]:
@@ -229,7 +233,8 @@ def generate_cond_fn(prompt, negative_prompt=None, seconds_start=0,
         }
         audio = generate_diffusion_cond_inpaint(
             model, variables, init_audio=_prep(inpaint_audio),
-            mask_args=mask_args, **gen_kwargs,
+            mask_args=mask_args,
+            negative_conditioning=negative_conditioning, **gen_kwargs,
         )
     else:
         gen_kwargs["negative_conditioning"] = negative_conditioning
@@ -332,7 +337,13 @@ def autoencoder_process_fn(audio_sr, latent_noise=0.0, n_quantizers=None):
     model = _model_state["model"]
     variables = _model_state["variables"]
     sr, audio = audio_sr
-    audio = np.asarray(audio, np.float32)
+    audio = np.asarray(audio)
+    # gradio numpy audio is int16 — rescale before the float cast
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 32768.0
+    elif audio.dtype == np.int32:
+        audio = audio.astype(np.float32) / 2147483648.0
+    audio = audio.astype(np.float32)
     if audio.ndim == 1:
         audio = audio[None]
     else:
@@ -343,8 +354,14 @@ def autoencoder_process_fn(audio_sr, latent_noise=0.0, n_quantizers=None):
                           (audio.shape[-1] // model.downsampling_ratio)
                           * model.downsampling_ratio, model.io_channels)
     rng = jax.random.PRNGKey(0)
+    enc_kwargs = {}
+    if n_quantizers:
+        # limits the RVQ depth on discrete bottlenecks (reference
+        # gradio.py:291-300); continuous bottlenecks ignore it
+        enc_kwargs["n_quantizers"] = int(n_quantizers)
     latents = model.apply(variables, jnp.asarray(audio),
-                          rngs={"sample": rng}, method=model.encode)
+                          rngs={"sample": rng}, method=model.encode,
+                          **enc_kwargs)
     if latent_noise > 0:
         latents = latents + latent_noise * jax.random.normal(rng, latents.shape)
     recon = model.apply(variables, latents, method=model.decode)

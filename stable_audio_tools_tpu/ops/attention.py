@@ -465,7 +465,13 @@ class Attention(nn.Module):
                 dim, use_bias=False, name="to_out",
                 zero_init=self.zero_init_output,
             )(out)
-            return self._apply_feat_scale(out), new_cache
+            # feat_scale's DC/HF split is a FULL-SEQUENCE mean; on a single
+            # decoded token it degenerates to (1+λ_dc)·out, silently
+            # diverging from training semantics — refuse instead
+            assert not self.feat_scale, (
+                "feat_scale attention cannot use KV-cached decode (the DC/HF "
+                "modulation needs the whole sequence); use the full forward")
+            return out, new_cache
 
         if rotary_pos_emb is not None:
             # length-ratio frequency scaling for cross-attn (transformer.py:496-503)

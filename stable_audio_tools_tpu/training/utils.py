@@ -147,6 +147,12 @@ class WandbLogger:
         self._wandb.log(metrics, step=step)
 
     def log_audio(self, key, audio, sample_rate, caption=None, step=None):
+        import numpy as np
+
+        # callers pass [C, T]; wandb.Audio expects (frames,) or (frames, C)
+        audio = np.asarray(audio)
+        if audio.ndim == 2:
+            audio = audio.T
         self._wandb.log(
             {key: self._wandb.Audio(audio, sample_rate=sample_rate,
                                     caption=caption)},

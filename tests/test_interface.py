@@ -221,3 +221,18 @@ def test_demo_callback_cond_cfg_grid(tmp_path):
     logged = [json.loads(l) for l in open(log_path)]
     keys = {k for rec in logged for k in rec}
     assert "demo/demo_cfg1.5" in keys and "demo/demo_cfg3.0_melspec" in keys
+
+
+def test_save_output_long_stereo_roundtrip(tmp_path):
+    """save_output writes [C, T] correctly for T > 65535 (regression: a
+    transposed write crashed struct.pack with channels=T)."""
+    from stable_audio_tools_tpu.data.wav import load_wav
+    from stable_audio_tools_tpu.interface.export import save_output
+
+    t = np.linspace(0, 1, 70000, dtype=np.float32)
+    audio = np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 220 * t)])
+    path = save_output(audio, 44100, "wav", basename="long", out_dir=str(tmp_path))
+    back, sr = load_wav(path)
+    assert sr == 44100
+    assert back.shape == (2, 70000)
+    np.testing.assert_allclose(back, audio / np.abs(audio).max(), atol=2e-4)
