@@ -412,13 +412,15 @@ def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
         params["decoder"] = import_seanet_decoder(
             sd, "decoder.", len(dec.ratios), dec.n_residual_layers, dec.lstm
         )
-        return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+        return {"params": params}
     if type(enc).__name__ == "DACEncoder":
-        # reference DACEncoderWrapper nests the tower under `encoder.` and
-        # keeps the backwards-compat proj at wrapper level
-        params["encoder"] = import_dac_encoder(
-            sd, "encoder.encoder.", len(enc.strides)
-        )
+        # two layouts exist: the reference DACEncoderWrapper nests the tower
+        # under `encoder.encoder.`; descript's raw dac.DAC checkpoints put it
+        # directly at `encoder.` — detect from the keys
+        enc_prefix = ("encoder.encoder."
+                      if any(k.startswith("encoder.encoder.") for k in sd)
+                      else "encoder.")
+        params["encoder"] = import_dac_encoder(sd, enc_prefix, len(enc.strides))
         if "encoder.proj_out.weight" in sd:
             w = sd["encoder.proj_out.weight"]  # [out, in, 1] conv1x1
             proj = {"kernel": w[:, :, 0].T.astype(np.float32)}
@@ -430,9 +432,10 @@ def import_autoencoder_state_dict(model, sd: tp.Dict[str, np.ndarray]) -> dict:
             sd, "encoder.", len(enc.c_mults), enc.use_snake
         )
     if type(dec).__name__ == "DACDecoder":
-        params["decoder"] = import_dac_decoder(
-            sd, "decoder.decoder.", len(dec.rates)
-        )
+        dec_prefix = ("decoder.decoder."
+                      if any(k.startswith("decoder.decoder.") for k in sd)
+                      else "decoder.")
+        params["decoder"] = import_dac_decoder(sd, dec_prefix, len(dec.rates))
     else:
         params["decoder"] = import_oobleck_decoder(
             sd, "decoder.", len(dec.c_mults), dec.use_snake,
@@ -479,10 +482,15 @@ def import_encodec_rvq(sd, prefix: str, num_quantizers: int) -> dict:
         cb = f"{prefix}vq.layers.{i}._codebook"
         embed = sd[f"{cb}.embed"].astype(np.float32)
         embeds.append(embed)
-        avgs.append(sd.get(f"{cb}.embed_avg", embed).astype(np.float32))
         cs = sd.get(f"{cb}.cluster_size")
-        counts.append(cs.astype(np.float32) if cs is not None
-                      else np.ones(embed.shape[0], np.float32))
+        cnt = (cs.astype(np.float32) if cs is not None
+               else np.ones(embed.shape[0], np.float32))
+        avg = sd.get(f"{cb}.embed_avg")
+        # a consistent fallback must satisfy codebook ≈ ema_sums/ema_counts,
+        # or the first EMA update collapses magnitudes by the count scale
+        avgs.append(avg.astype(np.float32) if avg is not None
+                    else embed * cnt[:, None])
+        counts.append(cnt)
     return {
         "codebooks": np.stack(embeds),
         "ema_sums": np.stack(avgs),
@@ -502,16 +510,30 @@ def import_codec_variables(model, sd: tp.Dict[str, np.ndarray]) -> dict:
     bneck = model.bottleneck
     bname = type(bneck).__name__ if bneck is not None else ""
     if bname in ("DACRVQBottleneck", "DACRVQVAEBottleneck"):
+        # raw dac.DAC uses `quantizer.quantizers.*`; a reference-wrapper
+        # export nests it under the bottleneck
+        if any(k.startswith("quantizer.quantizers.") for k in sd):
+            q_prefix = "quantizer."
+        elif any(k.startswith("bottleneck.quantizer.quantizers.") for k in sd):
+            q_prefix = "bottleneck.quantizer."
+        else:
+            raise RuntimeError(
+                "DAC checkpoint has no quantizer.quantizers.* / "
+                "bottleneck.quantizer.quantizers.* keys; refusing to leave "
+                "the RVQ codebooks random-initialized."
+            )
         variables["params"]["bottleneck"] = {
-            "quantizer": import_dac_rvq(sd, "quantizer.", bneck.n_codebooks)
+            "quantizer": import_dac_rvq(sd, q_prefix, bneck.n_codebooks)
         }
-    elif bname in ("RVQBottleneck", "RVQVAEBottleneck") and any(
-        k.startswith("quantizer.vq.layers.") for k in sd
-    ):
+    elif bname in ("RVQBottleneck", "RVQVAEBottleneck"):
+        if not any(k.startswith("quantizer.vq.layers.") for k in sd):
+            raise RuntimeError(
+                "encodec checkpoint has no quantizer.vq.layers.* keys; "
+                "refusing to leave the RVQ codebooks random-initialized."
+            )
         variables["quantizer_state"] = {
-            "bottleneck": {"quantizer": jax.tree_util.tree_map(
-                jnp.asarray,
-                import_encodec_rvq(sd, "quantizer.", bneck.num_quantizers),
+            "bottleneck": {"quantizer": import_encodec_rvq(
+                sd, "quantizer.", bneck.num_quantizers,
             )}
         }
     return jax.tree_util.tree_map(jnp.asarray, variables)

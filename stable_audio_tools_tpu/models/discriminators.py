@@ -506,8 +506,11 @@ class MultiScaleSubbandCQTDiscriminator(nn.Module):
         B, C, T = x.shape
         for si, hop in enumerate(self.hop_lengths):
             n_oct = self.n_octaves[si]
-            # per-octave hops must stay integral (CQT2010 constraint)
-            while hop % (2 ** (n_oct - 1)) != 0:
+            # per-octave hops must stay integral (CQT2010 constraint), and
+            # the top octave must stay below Nyquist (nnAudio raises there;
+            # we reduce the range with a warning)
+            while (hop % (2 ** (n_oct - 1)) != 0
+                   or self.fmin * 2 ** n_oct >= self.sample_rate / 2):
                 n_oct -= 1
             if n_oct != self.n_octaves[si]:
                 import logging

@@ -273,6 +273,10 @@ def create_pretransform_from_config(pretransform_config: Dict[str, Any], sample_
             "channels": arch["channels"], "dimension": arch["dimension"],
             "n_filters": arch["n_filters"], "n_residual_layers": 1,
             "dilation_base": 2, "lstm": 2, "norm": "weight_norm",
+            # audiocraft's SEANet defaults true_skip=True (identity resnet
+            # skips, NO 1x1 shortcut convs) — facebook/encodec_32khz etc.
+            # have no shortcut weights. pip-encodec layouts set this False.
+            "true_skip": cfg.get("true_skip", True),
         }
         ae_config = {
             "sample_rate": sample_rate,

@@ -83,6 +83,14 @@ def cqt(x: jax.Array, sr: int, hop_length: int, fmin: float = 32.7,
     B, T = x.shape
     n_frames = T // hop_length
     f_top_min = fmin * 2 ** (n_octaves - 1)
+    f_top_max = f_top_min * 2 ** ((bins_per_octave - 1) / bins_per_octave)
+    if f_top_max >= sr / 2:
+        # aliased kernels would silently fold the top bins back down;
+        # nnAudio's CQT2010 refuses the same configuration
+        raise ValueError(
+            f"CQT top bin {f_top_max:.0f} Hz >= Nyquist ({sr / 2:.0f} Hz); "
+            f"reduce n_octaves (= {n_octaves}) or fmin (= {fmin})"
+        )
     taps, n_fft = _top_octave_kernels(bins_per_octave, f_top_min, sr)
     taps = jnp.asarray(taps)  # [n_fft, 1, 2*bins]
 

@@ -387,3 +387,20 @@ def test_import_dac_autoencoder_golden():
         {"params": variables["params"]["decoder"]},
         jnp.asarray(lat.transpose(0, 2, 1)))).transpose(0, 2, 1)
     np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-5)
+
+    # raw descript dac.DAC layout (tower directly under encoder./decoder.,
+    # no wrapper nesting) must import identically via prefix detection
+    sd_raw = {}
+    for k, v in sd.items():
+        if k.startswith("encoder.encoder."):
+            sd_raw["encoder." + k[len("encoder.encoder."):]] = v
+        elif k.startswith("decoder.decoder."):
+            sd_raw["decoder." + k[len("decoder.decoder."):]] = v
+        else:
+            sd_raw[k] = v
+    v_raw = import_autoencoder_state_dict(_M(), sd_raw)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(v_raw),
+                    jax.tree_util.tree_leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -138,12 +138,13 @@ class TSLSTM(tnn.Module):
 
 
 def _torch_seanet_encoder(channels, dimension, n_filters, ratios,
-                          n_res=1, lstm=2):
+                          n_res=1, lstm=2, true_skip=False):
     model = [SConv1d(channels, n_filters, 7)]
     mult = 1
     for ratio in ratios:
         for j in range(n_res):
-            model += [TResnetBlock(mult * n_filters, dilation=2 ** j)]
+            model += [TResnetBlock(mult * n_filters, dilation=2 ** j,
+                                   true_skip=true_skip)]
         model += [tnn.ELU(),
                   SConv1d(mult * n_filters, mult * n_filters * 2,
                           ratio * 2, stride=ratio)]
@@ -164,7 +165,7 @@ def _torch_seanet_encoder(channels, dimension, n_filters, ratios,
 
 
 def _torch_seanet_decoder(channels, dimension, n_filters, ratios,
-                          n_res=1, lstm=2):
+                          n_res=1, lstm=2, true_skip=False):
     mult = 2 ** len(ratios)
     model = [SConv1d(dimension, mult * n_filters, 7)]
     if lstm:
@@ -174,7 +175,8 @@ def _torch_seanet_decoder(channels, dimension, n_filters, ratios,
                   SConvTranspose1d(mult * n_filters, mult * n_filters // 2,
                                    ratio * 2, stride=ratio)]
         for j in range(n_res):
-            model += [TResnetBlock(mult * n_filters // 2, dilation=2 ** j)]
+            model += [TResnetBlock(mult * n_filters // 2, dilation=2 ** j,
+                                   true_skip=true_skip)]
         mult //= 2
     model += [tnn.ELU(), SConv1d(n_filters, channels, 7)]
 
