@@ -13,10 +13,30 @@ per 8-chip pod ⇒ ~2.97 audio-sec/sec on ONE chip at linear scaling.
 import json
 import os
 import sys
+import threading
 import time
 
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+# Watchdog: a wedged device tunnel can block backend init forever, which
+# would hang the whole bench run. Emit an error JSON line and exit instead.
+_WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+_done = threading.Event()
+
+
+def _watchdog():
+    if not _done.wait(_WATCHDOG_S):
+        print(json.dumps({
+            "metric": "sa_open_audio_sec_per_sec_per_chip", "value": 0.0,
+            "unit": "audio-sec/sec/chip",
+            "error": f"bench watchdog fired after {_WATCHDOG_S:.0f}s "
+                     "(device backend unavailable?)",
+        }), flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +178,7 @@ def main():
     audio_seconds = SAMPLE_SIZE / 44100.0
     value = audio_seconds / wall
     target_per_chip = 23.775 / 8  # north-star: 47.55s in <2s on v5e-8
+    _done.set()
     print(json.dumps({
         "metric": "audio_sec_generated_per_sec_per_chip",
         "value": round(value, 4),
