@@ -38,64 +38,11 @@ def load_model(model_config=None, model_ckpt_path=None, pretrained_name=None,
             with open(model_config) as f:
                 model_config = json.load(f)
         model = create_model_from_config(model_config)
-        # template init
-        model_type = model_config["model_type"]
-        rng = jax.random.PRNGKey(0)
-        rngs = {"params": rng, "sample": jax.random.fold_in(rng, 1),
-                "cfg": jax.random.fold_in(rng, 2)}
-        if model_type == "autoencoder":
-            io_ch = model_config["model"]["io_channels"]
-            audio = jnp.zeros((1, io_ch, model.downsampling_ratio * 4))
-            variables = jax.jit(model.init)(rngs, audio)
-        elif model_type == "lm":
-            K = model.num_quantizers
-            seq = jnp.zeros((1, K, 8), jnp.int32)
-            mc = getattr(model, "_multi_conditioner", None)
-            prepared = None
-            if mc is not None:
-                meta = [{c["id"]: (0 if c["type"] in ("int", "number") else "")
-                         for c in model_config["model"]["conditioning"]["configs"]}]
-                prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(meta))
-            variables = jax.jit(lambda s: model.init(rngs, s, cond=prepared))(seq)
-            if model.pretransform is not None:
-                # codec params: tokenize inits encoder+bottleneck, token
-                # decode inits the decoder — deep-merge the subtrees
-                audio = jnp.zeros((1, model_config["audio_channels"],
-                                   model.min_input_length * 4))
-                pt_enc = jax.jit(lambda a: model.init(
-                    rngs, a, method=model.pretransform_tokenize))(audio)
-                tokens = jnp.zeros((1, 4, K), jnp.int32)
-                pt_dec = jax.jit(lambda t: model.init(
-                    rngs, t, method=model.pretransform_decode_tokens))(tokens)
+        # shared template init (handles every model_type, merges all codec
+        # collections, imports configured pretransform ckpts)
+        from ..models.handle import init_variables_from_config
 
-                def _deep_merge(a, b):
-                    if isinstance(a, dict):
-                        out = dict(a)
-                        for k, v in b.items():
-                            out[k] = _deep_merge(a[k], v) if k in a else v
-                        return out
-                    return a
-
-                variables = {"params": _deep_merge(
-                    _deep_merge(variables["params"], pt_enc["params"]),
-                    pt_dec["params"],
-                )}
-        else:
-            mc = getattr(model, "_multi_conditioner", None)
-            prepared = None
-            if mc is not None:
-                meta = [{c["id"]: (0 if c["type"] in ("int", "number") else "")
-                         for c in model_config["model"]["conditioning"]["configs"]}]
-                prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(meta))
-            ratio = (model.pretransform.downsampling_ratio
-                     if model.pretransform is not None else 1)
-            x = jnp.zeros((1, model.io_channels,
-                           max(model_config["sample_size"] // ratio, 8)))
-            t = jnp.ones((1,))
-            kwargs = {"cond": prepared} if prepared is not None else {}
-            variables = jax.jit(
-                lambda x, t: model.init(rngs, x, t, method=model.init_full, **kwargs)
-            )(x, t)
+        variables = init_variables_from_config(model, model_config)
         if model_ckpt_path:
             if model_ckpt_path.endswith(".safetensors"):
                 sd = load_ckpt_state_dict(model_ckpt_path)

@@ -224,31 +224,38 @@ class ResidualVQ(nn.Module):
     # random batch vectors on the next training step. 0 disables.
     threshold_ema_dead_code: float = 0.0
 
-    @nn.compact
-    def __call__(self, x, train=False, n_quantizers: Optional[int] = None):
-        """x: [B, T, C] → (quantized, indices [B, T, Q], loss [Q])."""
-        codebooks = self.variable(
+    def setup(self):
+        # declared in setup so EVERY entry method (encode __call__ and the
+        # decode-tokens path) creates/reads the quantizer_state collection
+        self._codebooks = self.variable(
             "quantizer_state",
             "codebooks",
             lambda: jax.random.normal(
                 jax.random.PRNGKey(0), (self.num_quantizers, self.codebook_size, self.dim)
             ),
         )
-        ema_counts = self.variable(
+        self._ema_counts = self.variable(
             "quantizer_state",
             "ema_counts",
             lambda: jnp.ones((self.num_quantizers, self.codebook_size)),
         )
-        ema_sums = self.variable(
+        self._ema_sums = self.variable(
             "quantizer_state",
             "ema_sums",
-            lambda: codebooks.value.copy(),
+            lambda: self._codebooks.value.copy(),
         )
-        initted = self.variable(
+        self._initted = self.variable(
             "quantizer_state",
             "initted",
             lambda: jnp.asarray(not self.kmeans_init),
         )
+
+    def __call__(self, x, train=False, n_quantizers: Optional[int] = None):
+        """x: [B, T, C] → (quantized, indices [B, T, Q], loss [Q])."""
+        codebooks = self._codebooks
+        ema_counts = self._ema_counts
+        ema_sums = self._ema_sums
+        initted = self._initted
         is_mutable = self.is_mutable_collection("quantizer_state")
         was_initted = initted.value
 
@@ -339,7 +346,7 @@ class ResidualVQ(nn.Module):
 
     def get_outputs_from_indices(self, indices):
         """indices: [B, T, Q] → summed codebook vectors [B, T, C]."""
-        codebooks = self.get_variable("quantizer_state", "codebooks")
+        codebooks = self._codebooks.value
         out = 0
         for q in range(self.num_quantizers):
             out = out + codebooks[q][indices[..., q]]

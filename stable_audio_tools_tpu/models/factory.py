@@ -203,14 +203,31 @@ def create_pretransform_from_config(pretransform_config: Dict[str, Any], sample_
         # architectures are built in-repo and weights come from ckpt_path.
         cfg = pretransform_config.get("config", {})
         model_type = cfg.get("model_type", "44khz")
-        arch = {
+        archs = {
             "44khz": dict(strides=[2, 4, 8, 8], dec_rates=[8, 8, 4, 2],
                           n_codebooks=9, ratio=512),
             "24khz": dict(strides=[2, 4, 5, 8], dec_rates=[8, 5, 4, 2],
                           n_codebooks=32, ratio=320),
             "16khz": dict(strides=[2, 4, 5, 8], dec_rates=[8, 5, 4, 2],
                           n_codebooks=12, ratio=320),
-        }[model_type]
+        }
+        if model_type in archs:
+            arch = archs[model_type]
+        elif "strides" in cfg:
+            # custom DAC variant: architecture straight from the config
+            strides = list(cfg["strides"])
+            ratio = 1
+            for s in strides:
+                ratio *= s
+            arch = dict(strides=strides,
+                        dec_rates=cfg.get("dec_rates", strides[::-1]),
+                        n_codebooks=cfg.get("n_codebooks", 9), ratio=ratio)
+        else:
+            raise ValueError(
+                f"dac_pretrained model_type {model_type!r} is not one of "
+                f"{sorted(archs)}; for a custom DAC pass strides/dec_rates/"
+                "n_codebooks in the config instead"
+            )
         latent = cfg.get("latent_dim", 1024)
         n_codebooks = cfg.get("n_codebooks", arch["n_codebooks"])
         codebook_size = cfg.get("codebook_size", 1024)
@@ -277,6 +294,9 @@ def create_pretransform_from_config(pretransform_config: Dict[str, Any], sample_
             # skips, NO 1x1 shortcut convs) — facebook/encodec_32khz etc.
             # have no shortcut weights. pip-encodec layouts set this False.
             "true_skip": cfg.get("true_skip", True),
+            # streaming EnCodec models (e.g. encodec_24khz) are causal:
+            # left-only pads, not centered — must match the checkpoint
+            "causal": cfg.get("causal", False),
         }
         ae_config = {
             "sample_rate": sample_rate,

@@ -43,9 +43,13 @@ class AudioLanguageModelTrainer:
             quantizer_state=variables.get("quantizer_state"),
         )
 
-    def _loss(self, params, batch, rng):
+    def _loss(self, params, batch, rng, quantizer_state=None):
         model = self.model
         variables = {"params": params}
+        if quantizer_state is not None:
+            # RVQ codecs (encodec/audiocraft pretransforms) keep their
+            # codebooks in this collection; tokenize needs it
+            variables["quantizer_state"] = quantizer_state
         rngs = {"sample": rng}
         if self.pre_tokenized:
             codes = batch["codes"]  # [B, K, T]
@@ -83,7 +87,7 @@ class AudioLanguageModelTrainer:
     def make_train_step(self, accum_steps: int = 1):
         def train_step(state: TrainState, batch, rng):
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                state.params, batch, rng
+                state.params, batch, rng, state.quantizer_state
             )
             updates, new_opt = self.optimizer.update(grads, state.opt_state,
                                                      state.params)

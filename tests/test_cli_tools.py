@@ -106,3 +106,52 @@ def test_pre_encode_cli(workdir):
     lat = np.load(npys[0])
     # [latent_dim, T/ratio] (+ maybe batch/channel layout) — just sanity-check
     assert lat.ndim >= 2 and 4 in lat.shape
+
+
+def test_train_lm_with_imported_codec_cli(workdir):
+    """LM training through train.py end to end, with the pretransform's
+    pretrained-codec checkpoint imported at init (regressions: train.py had
+    no lm init path at all, and configured codec ckpts were never loaded)."""
+    torch = pytest.importorskip("torch")
+    from tests.test_pretrained_codecs import TEncodecRVQ, _sd
+    from tests.test_seanet_golden import (_torch_seanet_decoder,
+                                          _torch_seanet_encoder)
+
+    torch.manual_seed(0)
+    tenc = _torch_seanet_encoder(1, 8, 4, ratios=[2, 5], true_skip=True).eval()
+    tdec = _torch_seanet_decoder(1, 8, 4, ratios=[5, 2], true_skip=True).eval()
+    trvq = TEncodecRVQ(dim=8, n_q=2, cb_size=16).eval()
+    sd = {**_sd(tenc, "encoder."), **_sd(tdec, "decoder."),
+          **_sd(trvq, "quantizer.")}
+    ckpt = workdir / "codec.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(ckpt))
+
+    cfg = {
+        "model_type": "lm",
+        "sample_size": 400,
+        "sample_rate": 16000,
+        "audio_channels": 1,
+        "model": {
+            "pretransform": {"type": "audiocraft_pretrained", "config": {
+                "model_type": "custom", "ratios": [5, 2], "n_filters": 4,
+                "dimension": 8, "num_quantizers": 2, "codebook_size": 16,
+                "ckpt_path": str(ckpt)}},
+            "lm": {
+                "type": "continuous_transformer",
+                "codebook_pattern": {"type": "delay"},
+                "config": {"embed_dim": 16, "depth": 1, "num_heads": 2,
+                           "dim_heads": 8},
+            },
+        },
+        "training": {"learning_rate": 1e-3},
+    }
+    (workdir / "lm.json").write_text(json.dumps(cfg))
+    ckpt_dir = workdir / "lm_ckpt"
+    _run(["train.py", "--model-config", str(workdir / "lm.json"),
+          "--dataset-config", str(workdir / "dataset.json"),
+          "--batch-size", "2", "--max-steps", "2", "--checkpoint-every", "2",
+          "--save-dir", str(ckpt_dir), "--num-workers", "1"])
+    assert (ckpt_dir / "step=2.ckpt").exists()
+    log = [json.loads(l) for l in open(ckpt_dir / "train_log.jsonl")]
+    assert any("train/perplexity" in d for d in log)

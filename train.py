@@ -113,24 +113,19 @@ def main():
     if model_type == "autoencoder":
         state = wrapper.init_state(rng, jnp.asarray(audio))
     else:
-        mc = getattr(model, "_multi_conditioner", None)
-        prepared = None
-        if mc is not None:
-            prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(metadata))
-        sample_size = model_config["sample_size"]
-        ratio = (model.pretransform.downsampling_ratio
-                 if model.pretransform is not None else 1)
-        io_ch = model.io_channels
-        x = jnp.zeros((audio.shape[0], io_ch, sample_size // ratio), jnp.float32)
-        t = jnp.ones((audio.shape[0],))
-        init_kwargs = {"cond": prepared} if prepared is not None else {}
-        variables = jax.jit(
-            lambda x, t: model.init(
-                {"params": rng, "sample": jax.random.fold_in(rng, 1),
-                 "cfg": jax.random.fold_in(rng, 2)},
-                x, t, method=model.init_full, **init_kwargs,
+        from stable_audio_tools_tpu.models.handle import (
+            init_variables_from_config,
+            inject_pretransform_ckpt,
+        )
+
+        # shared template init: handles diffusion AND lm model types, merges
+        # every codec collection, imports the pretransform's configured
+        # pretrained-codec ckpt (the frozen codec must never run random-init)
+        variables = init_variables_from_config(model, model_config, args.seed)
+        if args.pretransform_ckpt_path:
+            variables = inject_pretransform_ckpt(
+                model, variables, args.pretransform_ckpt_path
             )
-        )(x, t)
         if args.pretrained_ckpt_path:
             sd = load_ckpt_state_dict(args.pretrained_ckpt_path)
             new_params, loaded, skipped = copy_state_dict(variables["params"], sd)
