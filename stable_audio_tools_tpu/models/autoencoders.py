@@ -369,6 +369,13 @@ class AudioAutoencoder(nn.Module):
     def __call__(self, audio, train=False):
         """Roundtrip (used for init and AE training)."""
         latents, info = self.encode(audio, return_info=True, train=train)
+        if (self.bottleneck is not None
+                and getattr(self.bottleneck, "quantize_on_decode", False)
+                and "z" in info):
+            # encode already ran the quantizer (codes/losses in info); feed
+            # its quantized output to the decoder instead of re-quantizing.
+            return self.decode(nlc_to_nct(info["z"]), train=train,
+                               quantized=True), info
         return self.decode(latents, train=train), info
 
     def encode(
@@ -400,9 +407,12 @@ class AudioAutoencoder(nn.Module):
             return latents, info
         return latents
 
-    def decode(self, latents, skip_bottleneck: bool = False, train: bool = False):
+    def decode(self, latents, skip_bottleneck: bool = False, train: bool = False,
+               quantized: bool = False):
         if self.bottleneck is not None and not skip_bottleneck:
-            latents = nlc_to_nct(self.bottleneck.decode(nct_to_nlc(latents), train=train))
+            fn = (self.bottleneck.decode_quantized if quantized
+                  else self.bottleneck.decode)
+            latents = nlc_to_nct(fn(nct_to_nlc(latents), train=train))
         decoded = nlc_to_nct(self.decoder(nct_to_nlc(latents)))
         if self.pretransform is not None:
             decoded = self.pretransform.decode(decoded)

@@ -35,6 +35,14 @@ class Bottleneck(nn.Module):
     def decode(self, x, train=False):
         raise NotImplementedError
 
+    def decode_quantized(self, z_q, train=False):
+        """Decode-side post-processing for a latent that encode ALREADY
+        quantized (its info["z"]). quantize_on_decode bottlenecks override
+        this to skip the second quantizer pass the plain decode() would run
+        (encode populates codes/losses, decode would re-quantize the same
+        tensor — reference pretransforms.py:186-219 semantics, one pass)."""
+        return self.decode(z_q, train=train)
+
     def __call__(self, x, return_info=True, train=False):
         # default apply path: encode (used for init)
         return self.encode(x, return_info=return_info, train=train)
@@ -575,6 +583,10 @@ class DACRVQBottleneck(Bottleneck):
             x = self.quantizer(x)[0]
         return self._augment(x)
 
+    def decode_quantized(self, z_q, train=False):
+        # z_q is encode's info["z"] — already quantized; only augment.
+        return self._augment(z_q)
+
     def decode_tokens(self, codes, train=False):
         """codes: [B, Q, T] reference/dac layout (or [B, T, Q]).
 
@@ -627,6 +639,10 @@ class DACRVQVAEBottleneck(Bottleneck):
         if self.quantize_on_decode:
             x = self.quantizer(x)[0]
         return x
+
+    def decode_quantized(self, z_q, train=False):
+        # already quantized by encode; nothing left to do
+        return z_q
 
     def decode_tokens(self, codes, train=False):
         if codes.shape[1] == self.n_codebooks:

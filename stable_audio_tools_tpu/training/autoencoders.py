@@ -381,9 +381,24 @@ class AutoencoderTrainer:
             latents = jnp.where(mask < self.latent_mask_ratio,
                                 jnp.zeros_like(latents), latents)
 
+        # quantize_on_decode bottlenecks: encode already ran the quantizer to
+        # populate codes/losses; decode the quantized tensor from enc_info
+        # instead of running the quantizer a second time on the same latents.
+        # (Latent masking must see the unquantized latents, so fall back to
+        # the quantize-in-decode path when masking is active.)
+        decode_in, decode_kwargs = latents, {}
+        if (model.bottleneck is not None
+                and getattr(model.bottleneck, "quantize_on_decode", False)
+                and "z" in enc_info
+                and not (self.latent_mask_ratio > 0.0 and train)):
+            from ..models.autoencoders import nlc_to_nct
+            decode_in = nlc_to_nct(enc_info["z"])
+            decode_kwargs = {"quantized": True}
+
         decoded = model.apply(
-            variables, latents, train=train,
+            variables, decode_in, train=train,
             rngs={"sample": jax.random.fold_in(rng, 4)}, method=model.decode,
+            **decode_kwargs,
         )
         if self.compute_dtype is not None:
             # losses and GAN heads run in fp32

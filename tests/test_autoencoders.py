@@ -262,3 +262,31 @@ def test_rvq_dead_code_revival():
     # revived codes sit near actual batch vectors (finite, reasonable range)
     cb = np.asarray(qs["codebooks"][0])
     assert np.isfinite(cb).all() and np.abs(cb).max() < 10
+
+
+def test_quantize_on_decode_single_pass_matches_double():
+    """decode_quantized(encode info["z"]) must equal the decode() path that
+    re-runs the quantizer (same deterministic quantizer, same input) — the
+    trainer uses the single-pass route to avoid quantizing twice per step."""
+    cfg = {"type": "dac_rvq", "config": {
+        "input_dim": 4, "n_codebooks": 2, "codebook_size": 32,
+        "codebook_dim": 4, "quantize_on_decode": True}}
+    b = create_bottleneck_from_config(cfg)
+    assert b.quantize_on_decode
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 16, 4).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = b.init(rngs, x, return_info=True, train=True)
+
+    z, info = b.apply(variables, x, return_info=True, train=True,
+                      rngs={"sample": jax.random.PRNGKey(2)}, method=b.encode)
+    # with quantize_on_decode, encode passes the latents through...
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x))
+    assert "z" in info and "codes" in info
+
+    dec_double = b.apply(variables, z,
+                         rngs={"sample": jax.random.PRNGKey(3)}, method=b.decode)
+    dec_single = b.apply(variables, info["z"],
+                         rngs={"sample": jax.random.PRNGKey(3)},
+                         method=b.decode_quantized)
+    np.testing.assert_allclose(np.asarray(dec_double), np.asarray(dec_single),
+                               rtol=1e-6, atol=1e-6)
