@@ -19,12 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-ITERS = 20
+ITERS = 20  # scaled up for small problems in main(): ITERS*t_op must ≫ the
+# ~25 ms axon per-call RPC floor or the measurement is all dispatch overhead
 
 
-def timeit(fn, *args, repeats=3):
-    """Time fn amortized over ITERS in-jit iterations (the axon backend has a
+def timeit(fn, *args, repeats=3, iters=None):
+    """Time fn amortized over in-jit iterations (the axon backend has a
     ~25 ms per-call RPC floor that would otherwise dominate)."""
+    ITERS = iters or globals()["ITERS"]
 
     def loop(*a):
         def body(c, _):
@@ -38,11 +40,18 @@ def timeit(fn, *args, repeats=3):
         return c
 
     jloop = jax.jit(loop)
-    jax.block_until_ready(jloop(*args))  # compile
+
+    def sync(out):
+        # block_until_ready is not a true device sync on the axon backend —
+        # force a host transfer of one scalar to serialize timing.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
+    sync(jloop(*args))  # compile
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(jloop(*args))
+        sync(jloop(*args))
         best = min(best, time.perf_counter() - t0)
     return best / ITERS
 
@@ -72,12 +81,15 @@ def main():
             fa.flash_attention(q, k, v, kw["causal"], kw["window"]).astype(jnp.float32) ** 2))
         loss_xla = jax.jit(lambda q, k, v, kw=kw: jnp.sum(
             dot_product_attention(q, k, v, causal=kw["causal"], window=kw["window"]).astype(jnp.float32) ** 2))
-        fwd_flash = timeit(loss_flash, q, k, v)
-        fwd_xla = timeit(loss_xla, q, k, v)
+        # amortize the ~25 ms per-call RPC floor: more in-jit iterations for
+        # small problems so ITERS * t_op dominates dispatch
+        n_it = max(ITERS, min(400, int(4e12 // max(B * H * N * N * D, 1))))
+        fwd_flash = timeit(loss_flash, q, k, v, iters=n_it)
+        fwd_xla = timeit(loss_xla, q, k, v, iters=n_it)
         g_flash = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))
         g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))
-        bwd_flash = timeit(g_flash, q, k, v)
-        bwd_xla = timeit(g_xla, q, k, v)
+        bwd_flash = timeit(g_flash, q, k, v, iters=n_it)
+        bwd_xla = timeit(g_xla, q, k, v, iters=n_it)
         print(f"{label:14s} fwd {fwd_flash*1e3:7.2f} ms (XLA {fwd_xla*1e3:7.2f}, "
               f"{fwd_xla/fwd_flash:4.2f}x) | fwd+bwd {bwd_flash*1e3:7.2f} ms "
               f"(XLA {bwd_xla*1e3:7.2f}, {bwd_xla/bwd_flash:4.2f}x)")

@@ -1,0 +1,69 @@
+"""Trace the REAL full-scale SA-Open generate program (bench.py workload)
+and write a jax.profiler trace for scripts/profile_ops.py.
+
+Usage: python scripts/trace_generate.py /tmp/gen_trace [steps]
+"""
+import sys
+
+sys.path.insert(0, ".")
+sys.argv = [sys.argv[0]]  # keep bench.py from seeing our args
+
+import bench  # noqa: E402  (builds CONFIG at import; no main() run)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+trace_dir = "/tmp/gen_trace"
+steps = bench.STEPS
+argv = sys.argv[1:]
+
+
+def main(trace_dir, steps):
+    from stable_audio_tools_tpu.models.factory import create_model_from_config
+    from stable_audio_tools_tpu.inference.generation import generate_diffusion_cond
+
+    np.asarray(jax.block_until_ready(jnp.zeros(())))
+    model = create_model_from_config(bench.CONFIG)
+    mc = model._multi_conditioner
+    conditioning = [{
+        "prompt": "An upbeat electronic track with a driving bassline",
+        "seconds_start": 0,
+        "seconds_total": bench.SAMPLE_SIZE / 44100.0,
+    }]
+    prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(conditioning))
+    latent_T = bench.SAMPLE_SIZE // bench.DOWN
+    x = jnp.zeros((1, bench.DIT["io_channels"], latent_T), jnp.float32)
+    t = jnp.ones((1,))
+    variables = jax.jit(
+        lambda x, t: model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            x, t, cond=prepared, method=model.init_full,
+        )
+    )(x, t)
+    jax.block_until_ready(variables)
+
+    def run(seed):
+        return generate_diffusion_cond(
+            model, variables,
+            steps=steps, cfg_scale=6.0, conditioning=conditioning,
+            batch_size=1, sample_size=bench.SAMPLE_SIZE, seed=seed,
+            sampler_type="dpmpp-3m-sde", sigma_min=0.3, sigma_max=500.0,
+        )
+
+    audio = run(0)
+    _ = np.asarray(audio[0, 0, 0])  # compile + true device sync
+    import time
+    t0 = time.time()
+    audio = run(1)
+    _ = np.asarray(audio[0, 0, 0])
+    print(f"wall per generate ({steps} steps): {time.time()-t0:.3f}s")
+    with jax.profiler.trace(trace_dir):
+        audio = run(2)
+        _ = np.asarray(audio[0, 0, 0])
+    print("trace written to", trace_dir)
+
+
+if __name__ == "__main__":
+    td = argv[0] if argv else trace_dir
+    st = int(argv[1]) if len(argv) > 1 else steps
+    main(td, st)
