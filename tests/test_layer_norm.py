@@ -26,8 +26,11 @@ def _data(dtype=jnp.float32, B=2, N=300, C=256):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_ln_forward_matches_xla(dtype):
-    x, gamma, beta = _data(dtype)
+@pytest.mark.parametrize("N", [300, 256])  # ragged (600-row) and exact grids
+def test_ln_forward_matches_xla(dtype, N):
+    # N=300 → 600 rows = 2×256 + 88-row tail: covers the maskless ragged
+    # tail block (no explicit pad; OOB stores dropped by pallas)
+    x, gamma, beta = _data(dtype, N=N)
     got = _ln_forward(x, gamma, beta, 1e-5)
     want = _xla_layer_norm(x, gamma, beta, 1e-5)
     np.testing.assert_allclose(
