@@ -45,16 +45,22 @@ def step(variables, x, t, cond, gl):
     return model.apply(variables, x, t, cross_attn_cond=cond, global_embed=gl)
 
 
-out = jax.block_until_ready(step(variables, x, t, cond, gl))
+def sync(v):
+    # True device sync on the axon backend: block_until_ready returns before
+    # the device is actually drained there; a host transfer is the only fence.
+    np.asarray(jax.device_get(v.ravel()[0]))
+
+
+out = step(variables, x, t, cond, gl)
+sync(out)
 print("out", out.shape, out.dtype)
 
 N = 30
 t0 = time.time()
 for _ in range(N):
     out = step(variables, x, t, cond, gl)
-jax.block_until_ready(out)
+sync(out)
 wall = (time.time() - t0) / N
-flops = 0.0
 print(f"denoiser eval: {wall*1e3:.2f} ms")
 
 if len(sys.argv) > 1:

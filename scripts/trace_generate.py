@@ -6,6 +6,7 @@ Usage: python scripts/trace_generate.py /tmp/gen_trace [steps]
 import sys
 
 sys.path.insert(0, ".")
+argv = sys.argv[1:]  # capture CLI args BEFORE clobbering argv for bench import
 sys.argv = [sys.argv[0]]  # keep bench.py from seeing our args
 
 import bench  # noqa: E402  (builds CONFIG at import; no main() run)
@@ -15,7 +16,6 @@ import numpy as np  # noqa: E402
 
 trace_dir = "/tmp/gen_trace"
 steps = bench.STEPS
-argv = sys.argv[1:]
 
 
 def main(trace_dir, steps):

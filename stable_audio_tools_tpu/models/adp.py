@@ -5,8 +5,9 @@ streaming-style asymmetric conv padding (:125-171), ResnetBlock1d with
 scale-shift time mapping (:214-330), Patcher/Unpatcher (:336-388),
 Transformer1d with cross-attention (:476-635), Downsample/Upsample/Bottleneck
 blocks (:687-984), UNet1d with per-level skip lists (:986-1236), FixedEmbedding
-learned null embedding + UNetCFG1d batch-CFG with rescale (:1238-1384), and
-UNetNCCA1d noise-aug channel conditioning (:1389-1432).
+learned null embedding + UNetCFG1d batch-CFG with rescale (:1238-1384),
+UNetNCCA1d noise-aug channel conditioning (:1385-1432), UNetAll1d (CFG+NCCA,
+:1434-1441), and the XUNet1d dispatch (:1443-1453).
 
 NLC internally; public forward takes/returns [B, C, T].
 """
@@ -561,10 +562,52 @@ class UNet1d(nn.Module):
         return self.unet_forward(*args, **kwargs)
 
 
+class NumberEmbedder(nn.Module):
+    """Fourier-embed arbitrary-shaped float tensors (reference adp.py:1455-1477)."""
+
+    features: int
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        shape = x.shape
+        flat = x.reshape(-1)
+        emb = TimePositionalEmbedding(self.dim, self.features, name="embedding")(flat)
+        return emb.reshape(*shape, self.features)
+
+
+def _ncca_augment(mod, channels_list, channels_augmentation, channels_scale,
+                  context_features):
+    """Noise channel conditioning augmentation (reference adp.py:1385-1432).
+
+    Each conditioning channel item is blended with gaussian noise at
+    per-item scale (scale * augmentation flag); the scales are Fourier-
+    embedded (NumberEmbedder) and sum-reduced over items into the UNet's
+    `features` context vector. Must be called inside a compact method of
+    `mod` (creates the `embedder` submodule and draws the `sample` RNG).
+    Items are [B, C, T] (reference layout).
+    """
+    b, n = channels_list[0].shape[0], len(channels_list)
+    dt = jnp.asarray(channels_list[0]).dtype
+    aug = jnp.broadcast_to(jnp.asarray(channels_augmentation, dt), (b, n))
+    scale = jnp.broadcast_to(jnp.asarray(channels_scale, dt), (b, n))
+    s_eff = scale * aug
+    out = []
+    for i, item in enumerate(channels_list):
+        s = s_eff[:, i][:, None, None]
+        noise = jax.random.normal(mod.make_rng("sample"), item.shape, item.dtype)
+        out.append(noise * s + item * (1 - s))
+    emb = NumberEmbedder(features=context_features, name="embedder")(scale)
+    return out, emb.sum(axis=1)
+
+
 class UNetCFG1d(nn.Module):
     """UNet1d + classifier-free guidance via learned null embedding.
 
     Composition (not subclassing): flax allows one compact method per module.
+    With `use_ncca=True` this is the reference's `UNetAll1d` (adp.py:1434-1441,
+    CFG MRO over NCCA): conditioning channels are noise-augmented and the
+    scale embedding replaces the `features` context vector.
     """
 
     in_channels: int
@@ -589,6 +632,7 @@ class UNetCFG1d(nn.Module):
     attention_multiplier: int = 2
     context_embedding_max_length: int = 79
     use_xattn_time: bool = False
+    use_ncca: bool = False
 
     def _make_unet(self):
         return UNet1d(
@@ -631,6 +675,8 @@ class UNetCFG1d(nn.Module):
         negative_embedding_mask=None,
         features=None,
         channels_list=None,
+        channels_augmentation=False,
+        channels_scale=0.0,
         causal=False,
         train=False,
     ):
@@ -686,6 +732,14 @@ class UNetCFG1d(nn.Module):
             if channels_list:
                 batch_channels = [jnp.concatenate([c, c], axis=0)
                                   for c in channels_list]
+            if self.use_ncca:
+                # NCCA applies after batch doubling (reference UNetAll1d MRO:
+                # CFG forward → NCCA forward); the scale embedding replaces
+                # the features context vector.
+                batch_channels, batch_features = _ncca_augment(
+                    self, batch_channels, channels_augmentation,
+                    channels_scale, self.context_features,
+                )
             unet = self._make_unet()
             batch_out = unet(
                 batch_x, batch_time, features=batch_features,
@@ -701,6 +755,11 @@ class UNetCFG1d(nn.Module):
                     1 - scale_phi
                 ) * out_cfg
             return out_cfg
+        if self.use_ncca:
+            channels_list, features = _ncca_augment(
+                self, channels_list, channels_augmentation, channels_scale,
+                self.context_features,
+            )
         unet = self._make_unet()
         return unet(
             x, time, features=features, channels_list=channels_list,
@@ -708,8 +767,111 @@ class UNetCFG1d(nn.Module):
         )
 
 
-UNET_FIELDS = {f for f in UNet1d.__dataclass_fields__}
-UNETCFG_FIELDS = {f for f in UNetCFG1d.__dataclass_fields__}
+class UNetNCCA1d(nn.Module):
+    """UNet1d with Noise Channel Conditioning Augmentation (reference
+    adp.py:1385-1432): conditioning channels are blended with gaussian noise
+    at a per-item scale, and the Fourier-embedded scales (sum-reduced over
+    items) become the UNet's `features` context vector. Needs the `sample`
+    RNG collection."""
+
+    in_channels: int
+    channels: int
+    multipliers: tp.Tuple[int, ...]
+    factors: tp.Tuple[int, ...]
+    num_blocks: tp.Tuple[int, ...]
+    attentions: tp.Tuple[int, ...]
+    context_features: int = 0
+    patch_size: int = 1
+    resnet_groups: int = 8
+    use_context_time: bool = True
+    kernel_multiplier_downsample: int = 2
+    use_nearest_upsample: bool = False
+    use_skip_scale: bool = True
+    out_channels: tp.Optional[int] = None
+    context_features_multiplier: int = 4
+    context_channels: tp.Tuple[int, ...] = ()
+    context_embedding_features: tp.Optional[int] = None
+    attention_heads: tp.Optional[int] = None
+    attention_features: tp.Optional[int] = None
+    attention_multiplier: int = 2
+
+    @nn.compact
+    def __call__(self, x, time, *, channels_list, channels_augmentation=False,
+                 channels_scale=0.0, embedding=None, embedding_mask=None,
+                 causal=False, **kwargs):
+        assert self.context_features > 0, "UNetNCCA1d requires context_features"
+        channels_list, features = _ncca_augment(
+            self, list(channels_list), channels_augmentation, channels_scale,
+            self.context_features,
+        )
+        unet = UNet1d(
+            in_channels=self.in_channels,
+            channels=self.channels,
+            multipliers=self.multipliers,
+            factors=self.factors,
+            num_blocks=self.num_blocks,
+            attentions=self.attentions,
+            patch_size=self.patch_size,
+            resnet_groups=self.resnet_groups,
+            use_context_time=self.use_context_time,
+            kernel_multiplier_downsample=self.kernel_multiplier_downsample,
+            use_nearest_upsample=self.use_nearest_upsample,
+            use_skip_scale=self.use_skip_scale,
+            out_channels=self.out_channels,
+            context_features=self.context_features,
+            context_features_multiplier=self.context_features_multiplier,
+            context_channels=self.context_channels,
+            context_embedding_features=self.context_embedding_features,
+            attention_heads=self.attention_heads,
+            attention_features=self.attention_features,
+            attention_multiplier=self.attention_multiplier,
+            name="unet",
+        )
+        return unet(
+            x, time, features=features, channels_list=channels_list,
+            embedding=embedding, embedding_mask=embedding_mask, causal=causal,
+        )
+
+
+def UNetAll1d(**kwargs):
+    """CFG + NCCA combined variant (reference adp.py:1434-1441)."""
+    return UNetCFG1d(use_ncca=True, **kwargs)
+
+
+def XUNet1d(type: str = "base", **kwargs):
+    """UNet variant dispatch (reference adp.py:1443-1453)."""
+    if type == "base":
+        return UNet1d(**kwargs)
+    elif type == "all":
+        return UNetAll1d(**kwargs)
+    elif type == "cfg":
+        return UNetCFG1d(**kwargs)
+    elif type == "ncca":
+        return UNetNCCA1d(**kwargs)
+    raise ValueError(f"Unknown XUNet1d type: {type}")
+
+
+UNET_FIELDS = {f for f in UNet1d.__dataclass_fields__
+               if f not in ("parent", "name")}
+UNETCFG_FIELDS = {f for f in UNetCFG1d.__dataclass_fields__
+                  if f not in ("parent", "name")}
+
+
+class UNet1DUncondWrapper(nn.Module):
+    """Unconditional plain-UNet adapter (reference diffusion.py:337-358).
+
+    The reference halves all params once at init (a training-start detail);
+    not replicated here — checkpoint import overwrites params and capability
+    is unaffected.
+    """
+
+    unet: UNet1d
+
+    def __call__(self, x, t, **kwargs):
+        return self.unet(x, t, **{k: v for k, v in kwargs.items()
+                                  if k in ("features", "channels_list",
+                                           "embedding", "embedding_mask",
+                                           "causal")})
 
 
 class UNetCFG1DWrapper(nn.Module):

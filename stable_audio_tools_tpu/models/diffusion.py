@@ -255,6 +255,15 @@ def create_diffusion_uncond_from_config(config: tp.Dict[str, tp.Any]):
         )
         io_channels = model.io_channels
         min_input_length *= int(np.prod([s for s in model.strides]))
+    elif model_type == "adp_uncond_1d":
+        # reference diffusion.py:608-613 → UNet1DUncondWrapper(UNet1d)
+        from .adp import UNET_FIELDS, UNet1d, UNet1DUncondWrapper
+
+        cfg = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in diffusion_config.items() if k in UNET_FIELDS}
+        model = UNet1DUncondWrapper(unet=UNet1d(**cfg))
+        io_channels = cfg["in_channels"]
+        min_input_length *= int(np.prod(cfg["factors"])) * cfg.get("patch_size", 1)
     elif model_type == "dit":
         dit = _dit_from_config(diffusion_config, "v")
         model = DiTUncondWrapper(dit=dit)
