@@ -43,7 +43,9 @@ class Trainer:
         seed: int = 42,
         val_every: int = 0,
         profile_dir: tp.Optional[str] = None,
+        save_top_k: int = -1,
     ):
+        self.save_top_k = save_top_k
         self.val_every = val_every
         self.profile_dir = profile_dir
         self.wrapper = training_wrapper
@@ -153,6 +155,22 @@ class Trainer:
         # embed the model config next to the ckpt (ModelConfigEmbedderCallback)
         with open(os.path.join(self.save_dir, "model_config.json"), "w") as f:
             json.dump(self.model_config, f)
+        if self.save_top_k > 0:
+            # keep only the newest K step checkpoints (reference train.py:105
+            # ModelCheckpoint save_top_k; -1 keeps all)
+            import glob
+            import re
+
+            ckpts = []
+            for p in glob.glob(os.path.join(self.save_dir, "step=*.ckpt")):
+                m = re.search(r"step=(\d+)\.ckpt$", p)
+                if m:
+                    ckpts.append((int(m.group(1)), p))
+            for _, p in sorted(ckpts)[:-self.save_top_k]:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def restore(self, state, ckpt_path: str):
         return load_checkpoint(ckpt_path, state)

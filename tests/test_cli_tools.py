@@ -93,6 +93,17 @@ def test_train_then_unwrap_cli(workdir):
     exported = [p for p in workdir.iterdir() if p.name.startswith("unwrapped")]
     assert exported, "unwrap_model produced no output"
 
+    # --recover resumes from the latest checkpoint without --ckpt-path
+    # (reference defaults.ini recover flag; VERDICT r2 item 5)
+    r = _run(["train.py", "--model-config", str(workdir / "model.json"),
+              "--dataset-config", str(workdir / "dataset.json"),
+              "--batch-size", "2", "--max-steps", "4", "--checkpoint-every", "2",
+              "--save-dir", str(ckpt_dir), "--num-workers", "1", "--recover",
+              "--num-gpus", "1", "--strategy", "deepspeed",
+              "--precision", "16-mixed"])
+    assert "resuming from" in r.stdout
+    assert (ckpt_dir / "step=4.ckpt").exists()
+
 
 def test_pre_encode_cli(workdir):
     out_dir = workdir / "latents"
@@ -155,3 +166,69 @@ def test_train_lm_with_imported_codec_cli(workdir):
     assert (ckpt_dir / "step=2.ckpt").exists()
     log = [json.loads(l) for l in open(ckpt_dir / "train_log.jsonl")]
     assert any("train/perplexity" in d for d in log)
+
+
+def test_parser_accepts_every_reference_flag():
+    """train.py must accept every flag in the reference defaults.ini plus
+    --num-gpus (reference train.py:138), so reference command lines run
+    unmodified (VERDICT r2 item 5)."""
+    import configparser
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_cli", os.path.join(REPO, "train.py"))
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
+
+    ref_ini = "/root/reference/defaults.ini"
+    flags = ["num_gpus"]
+    if os.path.exists(ref_ini):
+        cp = configparser.ConfigParser()
+        cp.read(ref_ini)
+        flags += list(cp["DEFAULTS"].keys())
+
+    argv, val = [], {"recover": None}
+    for f in sorted(set(flags)):
+        cli = "--" + f.replace("_", "-")
+        if f == "recover":
+            argv.append(cli)
+        elif f in ("batch_size", "num_workers", "seed", "accum_batches",
+                   "checkpoint_every", "val_every", "num_gpus", "num_nodes",
+                   "save_top_k"):
+            argv += [cli, "2"]
+        elif f == "gradient_clip_val":
+            argv += [cli, "0.5"]
+        elif f == "remove_pretransform_weight_norm":
+            argv += [cli, "post_load"]
+        else:
+            argv += [cli, "x"]
+
+    old = sys.argv
+    try:
+        sys.argv = ["train.py"] + argv
+        args = train_cli.parse_args()
+    finally:
+        sys.argv = old
+    assert args.num_gpus == 2 and args.num_nodes == 2
+    assert args.recover is True and args.save_top_k == 2
+    assert args.precision == "x" and args.strategy == "x"
+    assert args.remove_pretransform_weight_norm == "post_load"
+    # precision table maps the reference default to TPU bf16
+    assert train_cli._PRECISION_DTYPE["16-mixed"] == "bfloat16"
+
+
+def test_save_top_k_prunes_checkpoints(tmp_path):
+    """Trainer.save keeps only the newest K step ckpts when save_top_k>0."""
+    from stable_audio_tools_tpu.training.trainer import Trainer
+
+    t = Trainer.__new__(Trainer)
+    t.rank = 0
+    t.save_dir = str(tmp_path)
+    t.model_config = {"model_type": "autoencoder"}
+    t.save_top_k = 2
+    state = {"w": np.zeros(2, np.float32)}
+    for s in (10, 20, 30):
+        t.save(state, s)
+    left = sorted(os.listdir(tmp_path))
+    assert "step=10.ckpt" not in left
+    assert "step=20.ckpt" in left and "step=30.ckpt" in left

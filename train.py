@@ -28,11 +28,41 @@ def parse_args():
         except (TypeError, ValueError):
             return fallback
 
+    def dbool(key, fallback=False):
+        v = defaults.get(key, fallback)
+        if isinstance(v, str):
+            return v.strip("'\"").lower() in ("true", "1", "yes")
+        return bool(v)
+
     p = argparse.ArgumentParser(description="stable-audio-tools-tpu trainer")
     p.add_argument("--name", type=str, default=dget("name", "stable_audio_tools"))
     p.add_argument("--project", type=str, default=dget("project", None))
     p.add_argument("--batch-size", type=int, default=dget("batch_size", 4, int))
     p.add_argument("--num-workers", type=int, default=dget("num_workers", 6, int))
+    # -- reference CLI surface (reference train.py:70-81,124-138 +
+    #    defaults.ini) — accepted everywhere, mapped to TPU equivalents in
+    #    main() (GSPMD mesh replaces DDP/DeepSpeed; see docs/migration.md)
+    p.add_argument("--num-gpus", type=int, default=dget("num_gpus", 1, int),
+                   help="reference flag; JAX discovers devices — informational "
+                        "(warns if it disagrees with the visible device count)")
+    p.add_argument("--num-nodes", type=int, default=dget("num_nodes", 1, int),
+                   help="reference flag; >1 initializes jax.distributed "
+                        "(multi-host), same as --multihost")
+    p.add_argument("--strategy", type=str, default=dget("strategy", "auto"),
+                   help="reference flag; 'deepspeed'/'ddp*' map to the GSPMD "
+                        "mesh (ZeRO-sharded optimizer state is always on)")
+    p.add_argument("--precision", type=str, default=dget("precision", "16-mixed"),
+                   help="reference flag; '16-mixed'/'bf16*' set "
+                        "training.compute_dtype=bfloat16, '32*' float32")
+    p.add_argument("--recover", action="store_true", default=dbool("recover"),
+                   help="resume from the latest step=*.ckpt in --save-dir")
+    p.add_argument("--save-top-k", type=int, default=dget("save_top_k", -1, int),
+                   help="keep only the newest K checkpoints (-1 = all)")
+    p.add_argument("--remove-pretransform-weight-norm", type=str,
+                   default=dget("remove_pretransform_weight_norm", ""),
+                   choices=["", "pre_load", "post_load"],
+                   help="re-normalize pretransform weight-norm params before "
+                        "or after the pretransform ckpt load")
     p.add_argument("--seed", type=int, default=dget("seed", 42, int))
     p.add_argument("--accum-batches", type=int, default=dget("accum_batches", 1, int))
     p.add_argument("--checkpoint-every", type=int,
@@ -64,6 +94,15 @@ def parse_args():
     return p.parse_args()
 
 
+# reference --precision values → JAX compute dtype ("16-mixed" is fp16
+# autocast on GPU; bf16 is the TPU-native equivalent)
+_PRECISION_DTYPE = {
+    "16-mixed": "bfloat16", "16-true": "bfloat16", "16": "bfloat16",
+    "bf16-mixed": "bfloat16", "bf16-true": "bfloat16", "bf16": "bfloat16",
+    "32-true": "float32", "32": "float32", "64": "float32",
+}
+
+
 def main():
     args = parse_args()
     assert args.model_config, "--model-config is required"
@@ -71,10 +110,36 @@ def main():
 
     import jax
 
-    if args.multihost:
+    if args.multihost or args.num_nodes > 1:
         # multi-host DCN init (reference: SLURM + NCCL; here jax.distributed)
         jax.distributed.initialize()
     import numpy as np
+
+    # -- reference-flag mapping (reference train.py:124-138) ----------------
+    n_dev = jax.device_count()
+    if args.num_gpus > 1 and n_dev != args.num_gpus:
+        print(f"[train] --num-gpus {args.num_gpus} requested but JAX sees "
+              f"{n_dev} device(s); the mesh always uses all visible devices "
+              "(the flag is accepted for reference-CLI compatibility)")
+    if args.strategy and args.strategy != "auto":
+        print(f"[train] --strategy {args.strategy!r} → GSPMD mesh training "
+              "(ZeRO-style sharded optimizer state is always on; DDP/DeepSpeed "
+              "are torch-runtime concepts)")
+    if args.recover and not args.ckpt_path:
+        import glob
+        import re
+
+        cands = []
+        for c in glob.glob(os.path.join(args.save_dir, "step=*.ckpt")):
+            m = re.search(r"step=(\d+)\.ckpt$", c)
+            if m:
+                cands.append((int(m.group(1)), c))
+        if cands:
+            args.ckpt_path = max(cands)[1]
+            print(f"[train] --recover: resuming from {args.ckpt_path}")
+        else:
+            print(f"[train] --recover: no step=*.ckpt under {args.save_dir!r}; "
+                  "starting fresh")
 
     from stable_audio_tools_tpu.data.dataset import create_dataloader_from_config
     from stable_audio_tools_tpu.models.factory import create_model_from_config
@@ -91,6 +156,14 @@ def main():
         model_config = json.load(f)
     with open(args.dataset_config) as f:
         dataset_config = json.load(f)
+
+    dt = _PRECISION_DTYPE.get(str(args.precision))
+    if dt is None:
+        print(f"[train] --precision {args.precision!r} not recognized; "
+              "leaving compute dtype to the model/training config")
+    else:
+        # config-specified compute_dtype wins; the flag supplies the default
+        model_config.setdefault("training", {}).setdefault("compute_dtype", dt)
 
     model = create_model_from_config(model_config)
     wrapper = create_training_wrapper_from_config(model_config, model)
@@ -111,6 +184,9 @@ def main():
     model_type = model_config["model_type"]
     rng = jax.random.PRNGKey(args.seed)
     if model_type == "autoencoder":
+        if args.remove_pretransform_weight_norm:
+            print("[train] --remove-pretransform-weight-norm is not applied "
+                  "to autoencoder training states; ignored")
         state = wrapper.init_state(rng, jnp.asarray(audio))
     else:
         from stable_audio_tools_tpu.models.handle import (
@@ -121,11 +197,33 @@ def main():
         # shared template init: handles diffusion AND lm model types, merges
         # every codec collection, imports the pretransform's configured
         # pretrained-codec ckpt (the frozen codec must never run random-init)
+        def _remove_pretransform_wn(variables):
+            # reference train.py:73-81 / models/utils.py:31 → re-normalize the
+            # pretransform's weight-norm params (g := ||v||, numerically a
+            # no-op at inference)
+            from stable_audio_tools_tpu.io.checkpoints import (
+                remove_weight_norm_from_model,
+            )
+
+            params = dict(variables.get("params", {}))
+            if "pretransform" not in params:
+                print("[train] --remove-pretransform-weight-norm: model has "
+                      "no pretransform params; ignored")
+                return variables
+            params["pretransform"] = remove_weight_norm_from_model(
+                params["pretransform"]
+            )
+            return {**variables, "params": params}
+
         variables = init_variables_from_config(model, model_config, args.seed)
+        if args.remove_pretransform_weight_norm == "pre_load":
+            variables = _remove_pretransform_wn(variables)
         if args.pretransform_ckpt_path:
             variables = inject_pretransform_ckpt(
                 model, variables, args.pretransform_ckpt_path
             )
+        if args.remove_pretransform_weight_norm == "post_load":
+            variables = _remove_pretransform_wn(variables)
         if args.pretrained_ckpt_path:
             sd = load_ckpt_state_dict(args.pretrained_ckpt_path)
             new_params, loaded, skipped = copy_state_dict(variables["params"], sd)
@@ -181,6 +279,7 @@ def main():
         seed=args.seed,
         val_every=max(args.val_every, 0),
         profile_dir=args.profile_dir or None,
+        save_top_k=args.save_top_k,
     )
     trainer.fit(dataloader, state=state,
                 ckpt_path=args.ckpt_path or None,
