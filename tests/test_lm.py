@@ -266,3 +266,34 @@ def test_permute_fused_kernels_skips_non_backbone_and_stamps_layout():
         np.asarray(out["params"]["backbone"]["layers_0"]["self_attn"]["to_qkv"]["kernel"]),
         np.asarray(k_bb))
     assert out["layout"]["backbone"]["layers_0"]["self_attn"]["to_qkv"]["concat"]
+
+
+def test_x_transformers_backbone_validation():
+    """x-transformers configs map onto the ContinuousTransformer backbone with
+    kwarg validation — unsupported options error instead of silently aliasing
+    (reference lm_backbone.py:42-100; VERDICT r2 item 10)."""
+    import copy
+
+    cfg = copy.deepcopy(TINY_LM_CONFIG)
+    lm_cfg = cfg["model"]["lm"]
+    lm_cfg["type"] = "x-transformers"
+    # x-transformers Decoder-style keys: dim/heads + reference-default opts
+    lm_cfg["config"] = {"dim": 32, "depth": 1, "heads": 2,
+                        "cross_attn_cond_dim": 16, "use_checkpointing": False,
+                        "attn_flash": True, "rotary_pos_emb": True,
+                        "ff_glu": True, "attn_dropout": 0.0}
+    model = create_model_from_config(cfg)
+    assert model.lm.backbone.embed_dim == 32
+    assert model.lm.backbone.num_heads == 2
+
+    # an exotic x-transformers option must be rejected loudly
+    bad = copy.deepcopy(cfg)
+    bad["model"]["lm"]["config"]["attn_talking_heads"] = True
+    with pytest.raises(NotImplementedError, match="attn_talking_heads"):
+        create_model_from_config(bad)
+
+    # an equivalent-class option with the WRONG value must also be rejected
+    bad2 = copy.deepcopy(cfg)
+    bad2["model"]["lm"]["config"]["rotary_pos_emb"] = False
+    with pytest.raises(NotImplementedError, match="rotary_pos_emb"):
+        create_model_from_config(bad2)
