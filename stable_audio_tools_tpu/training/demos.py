@@ -21,10 +21,16 @@ def create_demo_callback_from_config(model_config: dict, demo_dir: str = "demos"
     training_config = model_config.get("training", {})
     demo_config = training_config.get("demo", {})
 
-    if model_type in ("diffusion_cond", "diffusion_cond_inpaint"):
+    if model_type == "diffusion_cond_inpaint":
+        return DiffusionCondInpaintDemoCallback(model_config, demo_dir,
+                                                demo_config, demo_dl, logger)
+    if model_type == "diffusion_cond":
         return DiffusionCondDemoCallback(model_config, demo_dir, demo_config, logger)
     if model_type == "diffusion_uncond":
         return DiffusionUncondDemoCallback(model_config, demo_dir, demo_config, logger)
+    if model_type == "diffusion_autoencoder":
+        return DiffusionAutoencoderDemoCallback(model_config, demo_dir,
+                                                demo_config, demo_dl, logger)
     if model_type == "autoencoder":
         return AutoencoderDemoCallback(model_config, demo_dir, demo_config,
                                        demo_dl, logger)
@@ -143,6 +149,104 @@ class DiffusionCondDemoCallback(_DemoBase):
             self._save(np.asarray(audio), f"demo_cfg{scale}", step,
                        latents=None if latents is None else np.asarray(latents),
                        caption=f"cfg={scale} | {caption}")
+
+
+class DiffusionCondInpaintDemoCallback(_DemoBase):
+    """Masked-reconstruction demo grid (reference training/diffusion.py:
+    798-911): take reals from the demo dataloader, mask a segment, save the
+    masked input, and render inpainted audio at each cfg scale."""
+
+    def __init__(self, model_config, demo_dir, demo_config, demo_dl, logger=None):
+        super().__init__(model_config, demo_dir, demo_config, logger)
+        self.demo_dl = demo_dl
+
+    def __call__(self, model, wrapper, state, step: int):
+        import jax.numpy as jnp
+
+        from ..inference.generation import generate_diffusion_cond_inpaint
+
+        if self.demo_dl is None:
+            return
+        num_demos = self.demo_config.get("num_demos", 2)
+        audio, metadata = next(iter(self.demo_dl))
+        audio = np.asarray(audio)[:num_demos]
+        metadata = list(metadata)[:num_demos]
+        T = min(audio.shape[-1], self.sample_size)
+        audio = audio[..., :T]
+        self._save(audio, "inpaint_reals", step)
+
+        # default: mask the middle half with soft edges (reference demo uses
+        # random_inpaint_mask; the UI/mask_args schema is the public surface)
+        mask_args = self.demo_config.get("demo_mask_args", {
+            "maskstart": T // 4, "maskend": 3 * T // 4,
+            "softnessL": 0.05, "softnessR": 0.05,
+        })
+        masked = audio * np.asarray(
+            _mask_for_display(T, mask_args), np.float32)[None, None, :]
+        self._save(masked, "inpaint_masked_input", step)
+
+        cfg_scales = self.demo_config.get("demo_cfg_scales", [6.0])
+        steps = self.demo_config.get("demo_steps", 50)
+        variables = {"params": state.ema_params if state.ema_params is not None
+                     else state.params}
+        mc = getattr(model, "_multi_conditioner", None)
+        conditioning = None
+        if mc is not None:
+            conditioning = metadata
+        for scale in cfg_scales:
+            out = generate_diffusion_cond_inpaint(
+                model, variables, steps=steps, cfg_scale=scale,
+                conditioning=conditioning, batch_size=audio.shape[0],
+                sample_size=T, seed=step,
+                init_audio=(self.sample_rate, jnp.asarray(audio)),
+                mask_args=mask_args,
+            )
+            self._save(np.asarray(out), f"inpaint_cfg{scale}", step,
+                       caption=f"inpaint cfg={scale}")
+
+
+def _mask_for_display(sample_size, mask_args):
+    from ..inference.generation import build_mask
+
+    return build_mask(sample_size, mask_args)
+
+
+class DiffusionAutoencoderDemoCallback(_DemoBase):
+    """Diffusion-AE reconstruction demo (reference training/diffusion.py:
+    1080-1166): encode demo reals to latents, decode through the diffusion
+    decoder, log real + recon audio and the latents."""
+
+    def __init__(self, model_config, demo_dir, demo_config, demo_dl, logger=None):
+        super().__init__(model_config, demo_dir, demo_config, logger)
+        self.demo_dl = demo_dl
+
+    def __call__(self, model, wrapper, state, step: int):
+        import jax
+        import jax.numpy as jnp
+
+        if self.demo_dl is None:
+            return
+        num_demos = self.demo_config.get("num_demos", 2)
+        audio, _ = next(iter(self.demo_dl))
+        audio = jnp.asarray(np.asarray(audio)[:num_demos])
+        variables = {"params": state.ema_params if state.ema_params is not None
+                     else state.params}
+        steps = self.demo_config.get("demo_steps", 50)
+        if not hasattr(self, "_recon_jit"):
+            def _recon(v, audio, rng):
+                latents = model.apply(
+                    v, audio, method=model.encode, rngs={"sample": rng})
+                recon = model.apply(
+                    v, latents, steps, method=model.decode,
+                    rngs={"sample": jax.random.fold_in(rng, 1)})
+                return recon, latents
+
+            self._recon_jit = jax.jit(_recon)
+        recon, latents = self._recon_jit(variables, audio,
+                                         jax.random.PRNGKey(step))
+        self._save(np.asarray(audio), "diffae_reals", step)
+        self._save(np.asarray(recon), "diffae_recon", step,
+                   latents=np.asarray(latents))
 
 
 class DiffusionUncondDemoCallback(_DemoBase):

@@ -236,3 +236,96 @@ def test_save_output_long_stereo_roundtrip(tmp_path):
     assert sr == 44100
     assert back.shape == (2, 70000)
     np.testing.assert_allclose(back, audio / np.abs(audio).max(), atol=2e-4)
+
+
+def test_demo_callback_inpaint(tmp_path):
+    """Dedicated masked-reconstruction inpaint demo (reference
+    training/diffusion.py:798-911; VERDICT r2 item 8)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import json
+
+    from stable_audio_tools_tpu.models.factory import create_model_from_config
+    from stable_audio_tools_tpu.training.demos import (
+        DiffusionCondInpaintDemoCallback,
+        create_demo_callback_from_config,
+    )
+    from stable_audio_tools_tpu.training.factory import (
+        create_training_wrapper_from_config,
+    )
+    from tests.test_resume_inpaint import CFG
+
+    cfg = json.loads(json.dumps(CFG))
+    cfg["model_type"] = "diffusion_cond_inpaint"
+    cfg["model"]["diffusion"]["input_concat_ids"] = []
+    cfg["model"]["diffusion"]["config"]["input_concat_dim"] = 3
+    cfg["training"]["demo"] = {"demo_every": 1, "demo_steps": 2,
+                               "demo_cfg_scales": [2.0], "num_demos": 1,
+                               "demo_sample_size": 64}
+    model = create_model_from_config(cfg)
+    wrapper = create_training_wrapper_from_config(cfg, model)
+    mc = model._multi_conditioner
+    prepared = jax.tree_util.tree_map(
+        jnp.asarray, mc.gather_inputs([{"seconds_total": 10}]))
+    x = jnp.zeros((1, 2, 64))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+         "cfg": jax.random.PRNGKey(2)},
+        x, jnp.ones((1,)), cond=prepared,
+        input_concat_cond=jnp.zeros((1, 3, 64)), method=model.init_full,
+    )
+    state = wrapper.init_state(variables)
+
+    audio = np.random.RandomState(0).randn(1, 2, 64).astype(np.float32) * 0.1
+    demo_dl = [(audio, [{"seconds_total": 10}])]
+    cb = create_demo_callback_from_config(cfg, demo_dir=str(tmp_path),
+                                          demo_dl=demo_dl)
+    assert isinstance(cb, DiffusionCondInpaintDemoCallback)
+    cb(model, wrapper, state, step=1)
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("inpaint_reals_step1") for f in files), files
+    assert any(f.startswith("inpaint_masked_input_step1") for f in files)
+    assert any(f.startswith("inpaint_cfg2.0_step1") and f.endswith(".wav")
+               for f in files)
+
+
+def test_demo_callback_diffusion_autoencoder(tmp_path):
+    """Diffusion-AE reconstruction demo (reference training/diffusion.py:
+    1080-1166; VERDICT r2 item 8 — previously returned None)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from stable_audio_tools_tpu.models.factory import create_model_from_config
+    from stable_audio_tools_tpu.training.demos import (
+        DiffusionAutoencoderDemoCallback,
+        create_demo_callback_from_config,
+    )
+    from stable_audio_tools_tpu.training.factory import (
+        create_training_wrapper_from_config,
+    )
+    from tests.test_diffusion_ae import DIFFAE_CONFIG
+
+    import json
+
+    cfg = json.loads(json.dumps(DIFFAE_CONFIG))
+    cfg.setdefault("training", {"learning_rate": 1e-4})["demo"] = {
+        "demo_every": 1, "demo_steps": 2, "num_demos": 1}
+    model = create_model_from_config(cfg)
+    wrapper = create_training_wrapper_from_config(cfg, model)
+    audio = jnp.asarray(
+        np.random.RandomState(0).randn(1, 1, 256).astype(np.float32) * 0.1)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        audio, jnp.ones((1,)),
+    )
+    state = wrapper.init_state(variables)
+    demo_dl = [(np.asarray(audio), [{}])]
+    cb = create_demo_callback_from_config(cfg, demo_dir=str(tmp_path),
+                                          demo_dl=demo_dl)
+    assert isinstance(cb, DiffusionAutoencoderDemoCallback)
+    cb(model, wrapper, state, step=1)
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("diffae_reals_step1") for f in files), files
+    assert any(f.startswith("diffae_recon_step1") and f.endswith(".wav")
+               for f in files)
