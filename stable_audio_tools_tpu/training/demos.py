@@ -318,6 +318,23 @@ class AutoencoderDemoCallback(_DemoBase):
         recon = model.apply(variables, latents, method=model.decode)
         self._save(np.asarray(recon), "recon", step, latents=np.asarray(latents))
         self._save(np.asarray(audio), "real", step)
+        if self.demo_config.get("compute_fad", False):
+            # optional FAD(recon, reals) on the in-repo CLAP tower
+            # (eval/fad.py; BASELINE north-star instrument)
+            from ..eval.fad import fad_between
+
+            fad = fad_between(
+                np.asarray(audio), np.asarray(recon), self.sample_rate,
+                clap_ckpt_path=self.demo_config.get("fad_clap_ckpt_path"),
+                allow_random_init=not self.demo_config.get("fad_clap_ckpt_path"),
+                audio_model_type=self.demo_config.get(
+                    "fad_audio_model_type", "HTSAT-base"),
+                enable_fusion=self.demo_config.get("fad_enable_fusion", False),
+            )
+            if self.logger is not None:
+                from .utils import log_metric
+
+                log_metric(self.logger, "demo/fad_recon", fad, step=step)
         self._disc_sensitivity_probe(wrapper, state, jnp.asarray(audio), recon,
                                      step)
 

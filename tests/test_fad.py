@@ -1,0 +1,103 @@
+"""Offline FAD harness tests (eval/fad.py — BASELINE north-star instrument)."""
+
+import numpy as np
+import pytest
+
+from stable_audio_tools_tpu.eval.fad import (
+    embedding_stats,
+    fad_between,
+    frechet_distance,
+)
+
+
+def test_frechet_distance_identical_is_zero():
+    rs = np.random.RandomState(0)
+    e = rs.randn(64, 16)
+    mu, sigma = embedding_stats(e)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-4
+
+
+def test_frechet_distance_analytic_diagonal():
+    # FD between N(0, a I) and N(m, b I) = |m|^2 + D (a + b - 2 sqrt(ab))
+    D = 8
+    a, b = 2.0, 0.5
+    m = np.full(D, 0.3)
+    fd = frechet_distance(np.zeros(D), a * np.eye(D), m, b * np.eye(D), eps=0.0)
+    expect = float(m @ m + D * (a + b - 2 * np.sqrt(a * b)))
+    np.testing.assert_allclose(fd, expect, rtol=1e-6)
+
+
+def test_frechet_distance_shift_monotone():
+    rs = np.random.RandomState(1)
+    e = rs.randn(128, 8)
+    mu, sigma = embedding_stats(e)
+    d_small = frechet_distance(mu, sigma, mu + 0.1, sigma)
+    d_big = frechet_distance(mu, sigma, mu + 1.0, sigma)
+    assert 0 < d_small < d_big
+
+
+def test_embedding_stats_degenerate_n1():
+    mu, sigma = embedding_stats(np.ones((1, 4)))
+    assert sigma.shape == (4, 4)
+    np.testing.assert_allclose(sigma, 0.0)
+
+
+@pytest.mark.slow
+def test_fad_between_audio_sets_pipeline():
+    """End-to-end on the (random-init) CLAP tower: the full audio → mel →
+    HTSAT → projection → Fréchet pipeline runs, self-FAD is ~0, and a
+    mismatched set scores higher."""
+    rs = np.random.RandomState(0)
+    sr = 16000
+    t = np.arange(sr) / sr
+    tones = [np.sin(2 * np.pi * f * t).astype(np.float32)[None, :] * 0.3
+             for f in (220, 330, 440, 550)]
+    noise = [rs.randn(1, sr).astype(np.float32) * 0.3 for _ in range(4)]
+
+    from stable_audio_tools_tpu.eval.fad import CLAPEmbedder
+
+    emb = CLAPEmbedder(allow_random_init=True, audio_model_type="HTSAT-tiny",
+                       enable_fusion=False)
+    self_fad = fad_between(tones, tones, sr, embedder=emb)
+    cross_fad = fad_between(tones, noise, sr, embedder=emb)
+    assert abs(self_fad) < 1e-4, self_fad
+    assert cross_fad > self_fad + 1e-3, (self_fad, cross_fad)
+
+
+@pytest.mark.slow
+def test_ae_demo_callback_reports_fad(tmp_path):
+    """compute_fad in the AE demo config logs demo/fad_recon (VERDICT r2
+    item 6: FAD reported for a tiny AE smoke run)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from stable_audio_tools_tpu.models.factory import create_model_from_config
+    from stable_audio_tools_tpu.training.demos import (
+        create_demo_callback_from_config,
+    )
+    from stable_audio_tools_tpu.training.factory import (
+        create_training_wrapper_from_config,
+    )
+    from stable_audio_tools_tpu.training.utils import JSONLLogger
+    from tests.test_cli_tools import AE_CFG
+
+    cfg = json.loads(json.dumps(AE_CFG))
+    cfg["training"]["demo"] = {
+        "demo_every": 1, "compute_fad": True,
+        "fad_audio_model_type": "HTSAT-tiny",
+    }
+    model = create_model_from_config(cfg)
+    wrapper = create_training_wrapper_from_config(cfg, model)
+    audio = np.random.RandomState(0).randn(2, 2, 2048).astype(np.float32) * 0.1
+    state = wrapper.init_state(jax.random.PRNGKey(0), jnp.asarray(audio))
+    log_path = tmp_path / "log.jsonl"
+    cb = create_demo_callback_from_config(
+        cfg, demo_dir=str(tmp_path), demo_dl=[(audio, [{}])],
+        logger=JSONLLogger(str(log_path)),
+    )
+    cb(model, wrapper, state, step=1)
+    logged = [json.loads(l) for l in open(log_path)]
+    fads = [rec["demo/fad_recon"] for rec in logged if "demo/fad_recon" in rec]
+    assert fads and np.isfinite(fads[0]), logged
