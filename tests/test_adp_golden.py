@@ -20,9 +20,11 @@ torch = pytest.importorskip("torch")
 
 REF_ADP = "/root/reference/stable_audio_tools/models/adp.py"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_ADP), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.skipif(not os.path.exists(REF_ADP),
+                       reason="reference checkout not available"),
+    pytest.mark.slow,  # heavyweight golden/integration tier
+]
 
 
 def _load_reference_adp():

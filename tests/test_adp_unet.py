@@ -8,6 +8,8 @@ import pytest
 from stable_audio_tools_tpu.models.adp import UNet1d, UNetCFG1d
 from stable_audio_tools_tpu.models.factory import create_model_from_config
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 SA1_STYLE_CONFIG = {
     "model_type": "diffusion_cond",
     "sample_size": 1024,

@@ -69,6 +69,7 @@ def ae_trainer(_ae_trainer_cached):
     return trainer, state, audio
 
 
+@pytest.mark.slow
 def test_gan_alternation_and_losses(ae_trainer):
     trainer, state, audio = ae_trainer
     gen_losses = []
@@ -88,6 +89,7 @@ def test_gan_alternation_and_losses(ae_trainer):
     assert gen_losses[-1] < gen_losses[0] * 1.5  # loose: GAN losses oscillate
 
 
+@pytest.mark.slow
 def test_disc_params_update_only_on_disc_steps(ae_trainer):
     trainer, state, audio = ae_trainer
     # snapshot to host before stepping: train_step donates its input state
@@ -119,6 +121,7 @@ def test_export_params_uses_ema(ae_trainer):
     )
 
 
+@pytest.mark.slow
 def test_ae_demo_callback_disc_sensitivity(ae_trainer, tmp_path):
     """AE demo callback logs recon/real + the discriminator-sensitivity
     spectrogram (reference training/autoencoders.py:597-611 probe)."""

@@ -8,6 +8,8 @@ import pytest
 from stable_audio_tools_tpu.models.factory import create_model_from_config
 from stable_audio_tools_tpu.training.arc import ARCTrainer
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 RF_DIT_CONFIG = {
     "model_type": "diffusion_cond",
     "sample_size": 256,

@@ -64,6 +64,7 @@ def test_stft_loss_stacked_matches_per_signal_2d_input():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sum_and_difference_stacked_matches_full_path():
     """output='loss' (stacked sum/diff batch) == output='full' (two calls)."""
     kwargs = dict(fft_sizes=(256, 128), hop_sizes=(64, 32),
@@ -79,6 +80,7 @@ def test_sum_and_difference_stacked_matches_full_path():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sum_and_difference_grads_match_full_path():
     kwargs = dict(fft_sizes=(128,), hop_sizes=(32,), win_lengths=(128,))
     fused = SumAndDifferenceSTFTLoss(**kwargs)

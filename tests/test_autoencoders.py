@@ -47,6 +47,7 @@ TINY_VAE_CONFIG = {
 }
 
 
+@pytest.mark.slow
 def test_oobleck_vae_roundtrip():
     model = create_model_from_config(TINY_VAE_CONFIG)
     audio = jnp.asarray(np.random.RandomState(0).randn(2, 2, 256).astype(np.float32)) * 0.1
@@ -66,6 +67,7 @@ def test_oobleck_vae_roundtrip():
     assert decoded.shape == (2, 2, 256)
 
 
+@pytest.mark.slow
 def test_chunked_encode_decode_matches_unchunked_interior():
     model = create_model_from_config(TINY_VAE_CONFIG)
     audio = jnp.asarray(np.random.RandomState(1).randn(1, 2, 2048).astype(np.float32)) * 0.1
@@ -213,6 +215,7 @@ def test_rvq_kmeans_init():
     assert out_eval.shape == x.shape
 
 
+@pytest.mark.slow
 def test_dac_seanet_encoders():
     from stable_audio_tools_tpu.models.dac import DACDecoder, DACEncoder
     from stable_audio_tools_tpu.models.seanet import SEANetDecoder, SEANetEncoder

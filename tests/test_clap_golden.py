@@ -25,6 +25,9 @@ from stable_audio_tools_tpu.models.conditioners import (  # noqa: E402
 
 from tests.test_htsat_golden import THTSAT  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
+
 
 def _make_text_ckpt(tmp_path):
     from transformers import RobertaConfig, RobertaModel

@@ -78,6 +78,7 @@ def workdir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_train_then_unwrap_cli(workdir):
     ckpt_dir = workdir / "ckpt"
     _run(["train.py", "--model-config", str(workdir / "model.json"),
@@ -105,6 +106,7 @@ def test_train_then_unwrap_cli(workdir):
     assert (ckpt_dir / "step=4.ckpt").exists()
 
 
+@pytest.mark.slow
 def test_pre_encode_cli(workdir):
     out_dir = workdir / "latents"
     _run(["pre_encode.py", "--model-config", str(workdir / "model.json"),
@@ -119,6 +121,7 @@ def test_pre_encode_cli(workdir):
     assert lat.ndim >= 2 and 4 in lat.shape
 
 
+@pytest.mark.slow
 def test_train_lm_with_imported_codec_cli(workdir):
     """LM training through train.py end to end, with the pretransform's
     pretrained-codec checkpoint imported at init (regressions: train.py had

@@ -71,6 +71,7 @@ def test_clap_conditioners_require_optin_for_random_init():
         a.prepare([np.zeros(100, np.float32)])
 
 
+@pytest.mark.slow
 def test_t5_conditioner_offline_fallback():
     """Zero-egress: T5 falls back to random init + hash tokenizer but keeps
     the full interface contract (embeddings + mask, learnable proj)."""
@@ -90,6 +91,7 @@ def test_t5_conditioner_offline_fallback():
     )
 
 
+@pytest.mark.slow
 def test_clap_text_conditioner_fallback():
     c = CLAPTextConditioner("prompt", output_dim=16, allow_random_init=True)
     cond, mask = _apply(c, ["hello", "world"])
@@ -127,6 +129,7 @@ def test_multi_conditioner_pre_encoded_keys():
     assert out["embedding"][1] is None
 
 
+@pytest.mark.slow
 def test_ae_val_metrics():
     from stable_audio_tools_tpu.training.losses.metrics import make_eval_metrics
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stable_audio_tools_tpu.ops.cqt import cqt
 
@@ -34,6 +35,7 @@ def test_cqt_linear():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bigvgan_cqt_discriminator_loss_and_grads():
     from stable_audio_tools_tpu.models.discriminators import (
         MultiScaleSubbandCQTDiscriminator,

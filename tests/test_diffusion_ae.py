@@ -8,6 +8,8 @@ import pytest
 from stable_audio_tools_tpu.models.factory import create_model_from_config
 from stable_audio_tools_tpu.training.factory import create_training_wrapper_from_config
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 DIFFAE_CONFIG = {
     "model_type": "diffusion_autoencoder",
     "sample_size": 512,

@@ -100,6 +100,7 @@ def cond_model():
     return model, variables
 
 
+@pytest.mark.slow
 def test_cond_model_forward_with_cfg(cond_model):
     model, variables = cond_model
     mc = model._multi_conditioner
@@ -113,6 +114,7 @@ def test_cond_model_forward_with_cfg(cond_model):
     assert np.all(np.isfinite(np.asarray(out_cfg)))
 
 
+@pytest.mark.slow
 def test_cfg_interval_compute_split(cond_model):
     """cfg_interval uses lax.cond: inside → full CFG, outside → cond-only."""
     model, variables = cond_model
@@ -158,6 +160,7 @@ def test_conditioning_tensors_shapes(cond_model):
     assert inputs["global_cond"].shape == (1, 32)
 
 
+@pytest.mark.slow
 def test_generate_diffusion_cond_end_to_end(cond_model):
     model, variables = cond_model
     audio = generate_diffusion_cond(
@@ -213,6 +216,7 @@ TINY_UNCOND_CONFIG = {
 }
 
 
+@pytest.mark.slow
 def test_generate_diffusion_uncond_dau1d():
     model = create_model_from_config(TINY_UNCOND_CONFIG)
     x = jnp.zeros((1, 1, 128))
@@ -229,6 +233,7 @@ def test_generate_diffusion_uncond_dau1d():
     assert np.all(np.isfinite(np.asarray(audio)))
 
 
+@pytest.mark.slow
 def test_generate_cond_on_mesh_matches_single_device(cond_model):
     """Multi-chip generation (TP params + DP batch over a virtual mesh) must
     produce the same audio as single-device generation."""

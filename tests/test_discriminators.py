@@ -47,6 +47,7 @@ def test_wnconv2d_w_packed_matches_plain(kh, kw, dil_h, cin, cout):
 
 
 @pytest.mark.parametrize("n_fft", [128, 256])
+@pytest.mark.slow
 def test_discriminator_stft_packed_matches_unpacked(n_fft):
     # n_fft//2+1 bins is odd → exercises the padded-column masking
     rng = np.random.RandomState(2)
@@ -98,6 +99,7 @@ def _audio_pair(channels=1, t=4096):
     return reals, fakes
 
 
+@pytest.mark.slow
 def test_encodec_disc_stacked_loss_matches_two_pass():
     from stable_audio_tools_tpu.models.discriminators import (
         EncodecDiscriminator, get_hinge_losses)
@@ -123,6 +125,7 @@ def test_encodec_disc_stacked_loss_matches_two_pass():
     np.testing.assert_allclose(float(fm), fm2 / n, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dac_gan_stacked_loss_matches_two_pass():
     from stable_audio_tools_tpu.models.discriminators import DACGANLoss
 
@@ -146,6 +149,7 @@ def test_dac_gan_stacked_loss_matches_two_pass():
     np.testing.assert_allclose(float(fm), fm2, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cqt_disc_stacked_loss_matches_two_pass():
     from stable_audio_tools_tpu.models.discriminators import (
         MultiScaleSubbandCQTDiscriminator, get_hinge_losses)

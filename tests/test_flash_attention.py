@@ -8,6 +8,8 @@ import pytest
 from stable_audio_tools_tpu.ops.attention import dot_product_attention
 from stable_audio_tools_tpu.ops.kernels.flash_attention import flash_attention
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 
 @pytest.mark.parametrize("causal,window", [
     (False, None),

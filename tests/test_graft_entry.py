@@ -7,6 +7,7 @@ import sys
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     # run in a subprocess: dryrun pins jax to CPU pre-backend-init
     env = dict(os.environ)
@@ -22,6 +23,7 @@ def test_dryrun_multichip_8():
     assert "OK" in result.stdout
 
 
+@pytest.mark.slow
 def test_bench_small_runs():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

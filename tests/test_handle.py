@@ -5,6 +5,8 @@ import pytest
 
 from stable_audio_tools_tpu.models.handle import ModelHandle
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 AE_CFG = {
     "model_type": "autoencoder",
     "sample_size": 2048,

@@ -18,12 +18,15 @@ import torch.nn as tnn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 
 from stable_audio_tools_tpu.models.htsat import (  # noqa: E402
+
     HTSAT,
     bicubic_resize_1d,
     clap_logmel,
     import_htsat,
     prepare_clap_audio,
 )
+
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
 
 
 # ---- torch replica (laion_clap htsat.py layout) ------------------------------

@@ -18,6 +18,7 @@ from stable_audio_tools_tpu.models.local_attention import (
 )
 
 
+@pytest.mark.slow
 def test_local_attention_encoder_decoder():
     enc = TransformerEncoder1D(
         in_channels=4, out_channels=8, embed_dims=(16, 32),
@@ -53,6 +54,7 @@ def test_aeiou_visualizations():
     assert img3.ndim == 3
 
 
+@pytest.mark.slow
 def test_demo_callback_uncond(tmp_path):
     import matplotlib
 
@@ -98,6 +100,7 @@ def loaded_cond_model():
     return gio
 
 
+@pytest.mark.slow
 def test_generate_cond_fn_with_preview_and_export(loaded_cond_model, tmp_path):
     """Full text-to-audio backend: previews stream out of the fused sampler
     scan, output lands as a WAV file, spectrograms render."""
@@ -125,6 +128,7 @@ def test_generate_cond_fn_with_preview_and_export(loaded_cond_model, tmp_path):
     assert np.all(np.isfinite(audio))
 
 
+@pytest.mark.slow
 def test_generate_cond_fn_init_audio_variation(loaded_cond_model, tmp_path):
     gio = loaded_cond_model
     sr = gio._model_state["config"]["sample_rate"]
@@ -159,6 +163,7 @@ def test_export_formats(tmp_path):
             save_output(audio, 16000, "mp3 320k", "x", str(tmp_path))
 
 
+@pytest.mark.slow
 def test_generate_lm_fn():
     from stable_audio_tools_tpu.interface import gradio as gio
     from tests.test_lm import TINY_LM_CONFIG as LM_CONFIG
@@ -171,6 +176,7 @@ def test_generate_lm_fn():
     assert len(images) == 1
 
 
+@pytest.mark.slow
 def test_demo_callback_cond_cfg_grid(tmp_path):
     """Cond demo callback renders a grid over cfg scales with mel + latent
     PCA artifacts and logs them (reference training/diffusion.py:599-796)."""
@@ -238,6 +244,7 @@ def test_save_output_long_stereo_roundtrip(tmp_path):
     np.testing.assert_allclose(back, audio / np.abs(audio).max(), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_demo_callback_inpaint(tmp_path):
     """Dedicated masked-reconstruction inpaint demo (reference
     training/diffusion.py:798-911; VERDICT r2 item 8)."""
@@ -290,6 +297,7 @@ def test_demo_callback_inpaint(tmp_path):
                for f in files)
 
 
+@pytest.mark.slow
 def test_demo_callback_diffusion_autoencoder(tmp_path):
     """Diffusion-AE reconstruction demo (reference training/diffusion.py:
     1080-1166; VERDICT r2 item 8 — previously returned None)."""

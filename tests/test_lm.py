@@ -196,6 +196,7 @@ def test_lm_generate_cached_matches_full(lm_setup):
     assert cached_cfg.shape == (1, 1, 8)
 
 
+@pytest.mark.slow
 def test_lm_generate_cached_int8_weight_quant(lm_setup):
     """Opt-in int8 weight-only decode: same program shape, tokens mostly
     agree with the bf16 path under greedy sampling."""

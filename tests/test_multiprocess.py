@@ -13,6 +13,9 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -32,6 +32,8 @@ from tests.test_seanet_golden import (  # noqa: E402
     _torch_seanet_encoder,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 
 # ---- torch replica of dac.nn.quantize.ResidualVectorQuantize ----------------
 

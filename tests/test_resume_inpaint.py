@@ -36,6 +36,7 @@ CFG = {
 }
 
 
+@pytest.mark.slow
 def test_train_checkpoint_resume_roundtrip(tmp_path):
     model = create_model_from_config(CFG)
     trainer = create_training_wrapper_from_config(CFG, model)

@@ -25,10 +25,13 @@ from stable_audio_tools_tpu.io.checkpoints import (  # noqa: E402
     import_torch_lstm,
 )
 from stable_audio_tools_tpu.models.seanet import (  # noqa: E402
+
     SEANetDecoder,
     SEANetEncoder,
     SEANetLSTM,
 )
+
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
 
 
 # ---- torch replica of pip encodec (test fixture for importer validation) ----

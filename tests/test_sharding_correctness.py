@@ -16,6 +16,8 @@ from stable_audio_tools_tpu.parallel.mesh import (
 )
 from stable_audio_tools_tpu.training.factory import create_training_wrapper_from_config
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 CFG = {
     "model_type": "diffusion_cond",
     "sample_size": 256,

@@ -12,6 +12,8 @@ import pytest
 
 from stable_audio_tools_tpu.models.factory import create_model_from_config
 
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
+
 
 def test_taae_autoencoder_roundtrip():
     cfg = {

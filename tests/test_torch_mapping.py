@@ -114,6 +114,7 @@ def test_import_number_conditioner_weights():
     np.testing.assert_allclose(emb, expected, rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_t5_tower_load_from_torch_state_dict():
     """T5 tower weights from a (synthetic) reference ckpt drive the host T5."""
     torch = pytest.importorskip("torch")

@@ -112,6 +112,7 @@ def test_ema_params_track_params(trainer_setup):
     assert np.all(np.isfinite(np.asarray(pe)))
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(trainer_setup):
     model, trainer, variables, prepared = trainer_setup
     state = trainer.init_state(variables)
@@ -131,6 +132,7 @@ def test_validation_step(trainer_setup):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_dp_mesh_training_with_zero_sharding(trainer_setup):
     """DP over 8 virtual devices with ZeRO-sharded optimizer state."""
     model, trainer, variables, prepared = trainer_setup

@@ -18,10 +18,13 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from stable_audio_tools_tpu.models.wav2vec import (  # noqa: E402
+
     CONV_LAYERS,
     Wav2Vec2Model,
     import_wav2vec2,
 )
+
+pytestmark = pytest.mark.slow  # heavyweight golden/integration tier
 
 
 class TConvLayerBlock(tnn.Module):
