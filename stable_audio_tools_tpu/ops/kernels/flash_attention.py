@@ -684,6 +684,285 @@ flash_attention_prefix.defvjp(_prefix_fwd, _prefix_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Head-pair (NHD) entry: attention straight off the [B, N, H*dh] activation
+# layout with block-diagonal-packed K/V
+# ---------------------------------------------------------------------------
+#
+# The standard entry needs q/k/v as [B, H, N, D]: three physical
+# [B,N,H*D] -> [B,H,N,D] HBM transposes in, one out — 2.2 ms/step at
+# SA-Open scale (in-sampler trace, docs/performance.md), linearly worse at
+# seq 6144. This entry reads head PAIRS as 128-lane column blocks of the
+# projection's natural [B, N, H*dh] activation layout (dh=64 → two heads
+# per 128-lane tile, which is exactly Mosaic's lane width: no relayouts,
+# no padding waste) and writes the output back in the same layout, feeding
+# the out-projection directly. Zero transposes end to end.
+#
+# The second win is MXU depth: dh=64 contractions run the 128-deep
+# systolic array at half depth — the "dh=64 MXU ceiling" the step profile
+# keeps hitting. Packing the pair's K (and V) into a BLOCK-DIAGONAL
+# [2*block_k, 128] operand makes both heads' logits ONE full-depth matmul
+#   [q_a | q_b] @ [[k_a, 0], [0, k_b]]^T = [q_a k_a^T | q_b k_b^T]
+# (the zero blocks guarantee no cross-head mixing), and both heads' P·V
+# ONE full-depth matmul with the transposed block layout — the same MACs
+# the MXU would idle through anyway, now all useful. Per-head online
+# softmax runs on the [block_q, block_k] column halves, which are
+# lane-tile-aligned slices (block_k % 128 == 0) — free in Mosaic.
+# K'/V' tiles are built IN-KERNEL from the natural [block_k, 128] pair
+# tile with two lane masks + a sublane concat (vector cost ~1/block_q of
+# the matmul they feed), so K/V VMEM residency matches the standard kernel.
+
+
+def _flash_nhd_pair_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref,
+                           o_ref, lse_ref, *, block_q, block_k, seq_len,
+                           prefix_len, causal, scale, dh, no_mask=False):
+    """One program = one (batch, head-pair, q-block). q_ref block is
+    [block_q, 128] = [q_a | q_b]; k/v are the pair's keys/values in the
+    same natural lane layout ([N_pad, 128] = [k_a | k_b]); kp/vp the
+    prefix rows ([P_pad, 128]); prefix_len == 0 skips that block. The
+    block-diagonal K'/V' tiles are built in-kernel from the natural tiles
+    with two lane masks + a sublane concat (vector cost ~1/block_q of the
+    matmul they feed), so K/V VMEM residency matches the standard kernel."""
+    qi = pl.program_id(1)
+    q2 = q_ref[0]  # [block_q, 128]
+    q_start = qi * block_q
+
+    def merge_half(logits_h, k_start_h, m_prev, l_prev):
+        if not no_mask:
+            mask = _pos_mask(q_start, k_start_h, block_q, block_k, seq_len,
+                             causal, -1, -1)
+            logits_h = jnp.where(mask, logits_h, NEG_INF)
+        m_cur = jnp.max(logits_h, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits_h - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        return p, alpha, m_new, l_new
+
+    lane_a_q = jax.lax.broadcasted_iota(jnp.int32, (block_q, 2 * dh), 1) < dh
+    lane_a_k = jax.lax.broadcasted_iota(jnp.int32, (block_k, 2 * dh), 1) < dh
+
+    def blockdiag(t, lane_a):
+        # [rows, 128] = [t_a | t_b] -> [[t_a, 0], [0, t_b]] [2*rows, 128]
+        zero = jnp.zeros_like(t)
+        return jnp.concatenate(
+            [jnp.where(lane_a, t, zero), jnp.where(lane_a, zero, t)], axis=0)
+
+    def body(kb, carry):
+        acc, m_a, l_a, m_b, l_b = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        kd_blk = blockdiag(k_blk, lane_a_k)
+        # ONE full-depth matmul for both heads' logits
+        logits = jnp.dot(q2, kd_blk.T,
+                         preferred_element_type=jnp.float32) * scale
+        p_a, alpha_a, m_a, l_a = merge_half(
+            logits[:, :block_k], kb * block_k, m_a, l_a)
+        p_b, alpha_b, m_b, l_b = merge_half(
+            logits[:, block_k:], kb * block_k, m_b, l_b)
+        p = jnp.concatenate([p_a, p_b], axis=1)  # [bq, 2bk], tile-aligned
+        alpha_l = jnp.where(lane_a_q, alpha_a, alpha_b)
+        # ONE full-depth matmul for both heads' P.V (block-diag V')
+        vd_blk = blockdiag(v_blk, lane_a_k)
+        acc = acc * alpha_l + jnp.dot(
+            p.astype(vd_blk.dtype), vd_blk,
+            preferred_element_type=jnp.float32)
+        return acc, m_a, l_a, m_b, l_b
+
+    acc0 = jnp.zeros((block_q, 2 * dh), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    banded, lo, n_vis, hi = _q_visible_range(
+        qi, block_q, block_k, seq_len, causal, -1, -1
+    )
+    acc, m_a, l_a, m_b, l_b = jax.lax.fori_loop(
+        lo, hi, body, (acc0, m0, l0, m0, l0)
+    )
+
+    if prefix_len > 0:
+        # prefix block: [block_q, 2*P_pad] logits, pad columns masked
+        kp = kp_ref[0]  # [P_pad, 128] natural pair layout
+        vp = vp_ref[0]
+        P_pad = kp.shape[0]
+        lane_a_p = jax.lax.broadcasted_iota(
+            jnp.int32, (P_pad, 2 * dh), 1) < dh
+        s_p = jnp.dot(q2, blockdiag(kp, lane_a_p).T,
+                      preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, P_pad), 1)
+        pmask = col < prefix_len
+        sa = jnp.where(pmask, s_p[:, :P_pad], NEG_INF)
+        sb = jnp.where(pmask, s_p[:, P_pad:], NEG_INF)
+        m_a_new = jnp.maximum(m_a, jnp.max(sa, axis=-1, keepdims=True))
+        m_b_new = jnp.maximum(m_b, jnp.max(sb, axis=-1, keepdims=True))
+        alpha_a = jnp.exp(m_a - m_a_new)
+        alpha_b = jnp.exp(m_b - m_b_new)
+        p_a = jnp.exp(sa - m_a_new)
+        p_b = jnp.exp(sb - m_b_new)
+        l_a = l_a * alpha_a + jnp.sum(p_a, axis=-1, keepdims=True)
+        l_b = l_b * alpha_b + jnp.sum(p_b, axis=-1, keepdims=True)
+        p = jnp.concatenate([p_a, p_b], axis=1)
+        alpha_l = jnp.where(lane_a_q, alpha_a, alpha_b)
+        acc = acc * alpha_l + jnp.dot(
+            p.astype(vp.dtype), blockdiag(vp, lane_a_p),
+            preferred_element_type=jnp.float32)
+        m_a, m_b = m_a_new, m_b_new
+
+    l_a = jnp.maximum(l_a, 1e-30)
+    l_b = jnp.maximum(l_b, 1e-30)
+    l_lane = jnp.where(lane_a_q, l_a, l_b)
+    o_ref[0] = (acc / l_lane).astype(o_ref.dtype)
+    lse_ref[0] = jnp.concatenate(
+        [m_a + jnp.log(l_a), m_b + jnp.log(l_b)], axis=1)  # [block_q, 2]
+
+
+def _nhd_flat(x, P, N_pad):
+    """[B, N, H, dh] -> main rows as [B, N_pad, H*dh] (reshape + pad only)."""
+    B, N, H, dh = x.shape
+    xm = x[:, P:].reshape(B, N - P, H * dh)
+    if N_pad != N - P:
+        xm = jnp.pad(xm, ((0, 0), (0, N_pad - (N - P)), (0, 0)))
+    return xm
+
+
+def _nhd_forward(q, k, v, causal, prefix_len, block_q=512, block_k=512):
+    """q,k,v: [B, N, H, dh] with dh*2 == 128. Returns (out [B, N, H, dh],
+    lse [B*Hp, N_pad, 2])."""
+    B, N, H, dh = q.shape
+    assert 2 * dh == 128 and H % 2 == 0
+    assert prefix_len == 0 or not causal, "prefix fold is non-causal"
+    Hp = H // 2
+    scale = 1.0 / math.sqrt(dh)
+    P = prefix_len
+    Nm = N - P
+    # NOTE: no 1024-block bump here — the pair kernel's logits tile is
+    # [block_q, 2*block_k] f32 (8 MiB at 1024/1024), which blows the 16 MiB
+    # scoped-VMEM limit once the resident K/V and accumulators are added
+    block_q, block_k, N_pad = _pick_blocks(Nm, causal, -1, -1,
+                                           block_q, block_k)
+    # all operands stay in the natural activation layout (reshape + pad)
+    qm = _nhd_flat(q, P, N_pad)
+    km = _nhd_flat(k, P, N_pad)
+    vm = _nhd_flat(v, P, N_pad)
+    P_pad = 128
+    if P > 0:
+        assert P <= P_pad
+        kp = _nhd_flat(k[:, :P], 0, P_pad)
+        vp = _nhd_flat(v[:, :P], 0, P_pad)
+    else:
+        kp = jnp.zeros((B, P_pad, H * dh), q.dtype)
+        vp = jnp.zeros((B, P_pad, H * dh), q.dtype)
+
+    no_mask = (not causal) and N_pad == Nm
+    kernel = functools.partial(
+        _flash_nhd_pair_kernel, block_q=block_q, block_k=block_k,
+        seq_len=Nm, prefix_len=P, causal=causal, scale=scale, dh=dh,
+        no_mask=no_mask,
+    )
+
+    def pair_spec(rows):
+        return pl.BlockSpec(
+            (1, rows, 2 * dh), lambda bh, i, Hp=Hp: (bh // Hp, 0, bh % Hp),
+            memory_space=pltpu.VMEM)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B * Hp, N_pad // block_q),
+        in_specs=[
+            # q block: the pair's 128 lanes, straight from [B, N, H*dh]
+            pl.BlockSpec((1, block_q, 2 * dh),
+                         lambda bh, i, Hp=Hp: (bh // Hp, i, bh % Hp),
+                         memory_space=pltpu.VMEM),
+            pair_spec(N_pad),
+            pair_spec(N_pad),
+            pair_spec(P_pad),
+            pair_spec(P_pad),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh),
+                         lambda bh, i, Hp=Hp: (bh // Hp, i, bh % Hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 2), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N_pad, H * dh), q.dtype),
+            jax.ShapeDtypeStruct((B * Hp, N_pad, 2), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qm, km, vm, kp, vp)
+    out_main = out[:, :Nm].reshape(B, Nm, H, dh)
+
+    if P > 0:
+        # prefix query rows: dense softmax over all N keys (P is tiny),
+        # computed in the NHD layout via einsum over the head axis
+        logits_q = jnp.einsum(
+            "bphd,bnhd->bhpn", q[:, :P], k,
+            preferred_element_type=jnp.float32) * scale
+        m_q = jnp.max(logits_q, axis=-1, keepdims=True)
+        e_q = jnp.exp(logits_q - m_q)
+        l_q = jnp.sum(e_q, axis=-1, keepdims=True)
+        out_pref = (jnp.einsum(
+            "bhpn,bnhd->bphd", e_q.astype(v.dtype), v,
+            preferred_element_type=jnp.float32) / l_q.transpose(0, 2, 1, 3)
+        ).astype(q.dtype)
+        out_full = jnp.concatenate([out_pref, out_main], axis=1)
+        lse_pref = (m_q + jnp.log(l_q))  # [B, H, P, 1]
+    else:
+        out_full = out_main
+        lse_pref = None
+    return out_full, (lse, lse_pref)
+
+
+def _nhd_lse_to_bhn(lse_pair, lse_pref, B, H, N, prefix_len):
+    """Merge kernel lse [B*Hp, N_pad, 2] + prefix lse [B, H, P, 1] into the
+    [B*H, N_pad_full, 1] layout _flash_backward reads."""
+    Hp = H // 2
+    Nm = N - prefix_len
+    lse_main = lse_pair.reshape(B, Hp, -1, 2)[:, :, :Nm]  # [B, Hp, Nm, 2]
+    lse_main = lse_main.transpose(0, 1, 3, 2).reshape(B, H, Nm, 1)
+    if prefix_len > 0:
+        lse_full = jnp.concatenate([lse_pref, lse_main], axis=2)
+    else:
+        lse_full = lse_main
+    return _pad_lse(lse_full.reshape(B * H, N, 1), N, False, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_nhd(q, k, v, causal: bool = False, prefix_len: int = 0):
+    """Self-attention over [B, N, H, dh] (dh=64, H even) WITHOUT the
+    [B,N,H*dh]→[B,H,N,dh] transposes: head pairs are 128-lane column tiles
+    and the pair's matmuls run full-depth via block-diagonal K/V packing
+    (see the section comment). `prefix_len` folds a short prepended prefix
+    (global-cond/prepend/memory tokens) like flash_attention_prefix.
+    Returns [B, N, H, dh]."""
+    out, _ = _nhd_forward(q, k, v, causal, prefix_len)
+    return out
+
+
+def _nhd_fwd(q, k, v, causal, prefix_len):
+    out, (lse_pair, lse_pref) = _nhd_forward(q, k, v, causal, prefix_len)
+    return out, (q, k, v, out, lse_pair, lse_pref)
+
+
+def _nhd_bwd(causal, prefix_len, res, g):
+    # the merged lse equals the full-problem lse; transpose to the standard
+    # layout and reuse the fused full-length backward (transposes are paid
+    # only on the training backward — the forward stays transpose-free)
+    q, k, v, o, lse_pair, lse_pref = res
+    B, N, H, dh = q.shape
+    to_bhnd = lambda t: t.transpose(0, 2, 1, 3)
+    lse = _nhd_lse_to_bhn(lse_pair, lse_pref, B, H, N, prefix_len)
+    dq, dk, dv = _flash_backward(
+        to_bhnd(q), to_bhnd(k), to_bhnd(v), to_bhnd(o), lse, to_bhnd(g),
+        causal if prefix_len == 0 else False, None,
+    )
+    back = lambda t: t.transpose(0, 2, 1, 3)
+    return back(dq), back(dk), back(dv)
+
+
+flash_attention_nhd.defvjp(_nhd_fwd, _nhd_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused-QKV entry: attention straight off the interleaved projection output
 # ---------------------------------------------------------------------------
 #

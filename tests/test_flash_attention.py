@@ -222,3 +222,62 @@ def test_fused_qkv_grads_non_aligned_length():
     assert bool(jnp.all(jnp.isfinite(g_fused)))
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("causal,N,P", [
+    (False, 256, 0),
+    (True, 256, 0),
+    (False, 300, 0),    # unpadded length
+    (False, 256, 9),    # prefix fold (non-causal only)
+])
+def test_nhd_pair_matches_reference(causal, N, P):
+    from stable_audio_tools_tpu.ops.kernels.flash_attention import (
+        flash_attention_nhd,
+    )
+
+    rng = np.random.RandomState(7)
+    B, H, D = 2, 4, 64
+    q, k, v = (jnp.asarray(rng.randn(B, N, H, D).astype(np.float32))
+               for _ in range(3))
+    out_p = flash_attention_nhd(q, k, v, causal, P)
+    # reference: standard layout attention on the transposed operands
+    to_bhnd = lambda t: t.transpose(0, 2, 1, 3)
+    if P > 0:
+        # prefix rows attend densely; main rows attend to everything too
+        # (non-causal full attention == plain attention over all N)
+        out_x = dot_product_attention(to_bhnd(q), to_bhnd(k), to_bhnd(v),
+                                      causal=False)
+    else:
+        out_x = dot_product_attention(to_bhnd(q), to_bhnd(k), to_bhnd(v),
+                                      causal=causal)
+    np.testing.assert_allclose(np.asarray(out_p),
+                               np.asarray(out_x.transpose(0, 2, 1, 3)),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("causal,P", [(False, 0), (True, 0), (False, 9)])
+def test_nhd_pair_grads(causal, P):
+    from stable_audio_tools_tpu.ops.kernels.flash_attention import (
+        flash_attention_nhd,
+    )
+
+    rng = np.random.RandomState(8)
+    B, N, H, D = 1, 256, 2, 64
+    q, k, v = (jnp.asarray(rng.randn(B, N, H, D).astype(np.float32))
+               for _ in range(3))
+    w = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32))
+    to_bhnd = lambda t: t.transpose(0, 2, 1, 3)
+
+    def loss_p(q, k, v):
+        return jnp.sum(w * flash_attention_nhd(q, k, v, causal, P) ** 2)
+
+    def loss_x(q, k, v):
+        out = dot_product_attention(to_bhnd(q), to_bhnd(k), to_bhnd(v),
+                                    causal=causal).transpose(0, 2, 1, 3)
+        return jnp.sum(w * out ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
