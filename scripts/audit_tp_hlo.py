@@ -95,13 +95,18 @@ def main():
     counts: dict = {}
     total_bytes = 0
     seen = set()
+    # Count unique collective DEFINITIONS only: anchor at line start, match
+    # the full %name (earlier revisions used \w+ which cannot match
+    # '%all-reduce.72', so the dedup never fired and the schedule section's
+    # re-listing double-counted every collective — the source of the bogus
+    # "4.7 all-reduces/layer" figure in round 2's multichip doc).
     for m in re.finditer(
-        r"(\w+) = (\w+)\[([\d,]*)\][^=]*?"
+        r"^\s*(%[\w.\-]+) = (\w+)\[([\d,]*)\][^=]*?"
         r"(all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)"
-        r"[^(]*\(", hlo,
+        r"\(", hlo, re.M,
     ):
         dtype, shape_s, op = m.group(2), m.group(3), m.group(4)
-        if m.group(1) in seen:  # compiled text lists ops twice (schedule)
+        if m.group(1) in seen:
             continue
         seen.add(m.group(1))
         n = 1

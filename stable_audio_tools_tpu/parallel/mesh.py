@@ -134,8 +134,10 @@ def zero_shard_opt_state(opt_state, mesh: Mesh):
 def tp_param_sharding(params, mesh: Mesh, rules: tp.Sequence[tp.Tuple[str, P]] = ()):
     """Tensor-parallel sharding specs by param-path regex rules.
 
-    rules: [(pattern, PartitionSpec)]; first match wins; default replicated.
-    Typical DiT rules shard attention qkv/out and FF kernels on 'model'.
+    rules: [(pattern, spec_or_fn)]; first match wins; default replicated.
+    A rule's spec may be a callable (shape, mesh) -> PartitionSpec for
+    shape-dependent decisions (see gqa_kv_spec). Typical DiT rules shard
+    attention qkv/out and FF kernels on 'model'.
     """
     import re
 
@@ -145,6 +147,8 @@ def tp_param_sharding(params, mesh: Mesh, rules: tp.Sequence[tp.Tuple[str, P]] =
         path_str = "/".join(str(getattr(p, "key", p)) for p in path)
         for pattern, spec in rules:
             if re.search(pattern, path_str):
+                if callable(spec):
+                    spec = spec(x.shape, mesh)
                 # validate divisibility; fall back to replicated
                 try:
                     NamedSharding(mesh, spec).shard_shape(x.shape)
@@ -184,6 +188,8 @@ def tp_zero_opt_sharding(opt_state, mesh: Mesh,
         path_str = "/".join(str(getattr(p, "key", p)) for p in path)
         for pattern, spec in rules:
             if re.search(pattern, path_str):
+                if callable(spec):
+                    spec = spec(x.shape, mesh)
                 try:
                     candidate = zero_axis(tuple(spec), x.shape)
                     NamedSharding(mesh, candidate).shard_shape(x.shape)
@@ -209,11 +215,36 @@ def tp_zero_opt_sharding(opt_state, mesh: Mesh,
     )
 
 
+def gqa_kv_spec(dim_heads: int = 64):
+    """GQA-aware sharding for cross-attention `to_kv` kernels.
+
+    The fused to_kv kernel's columns are kv-head groups of 2*dim_heads
+    ([h][k|v][dh] interleave). Column-sharding it is only clean when the
+    kv-head count divides the 'model' axis — otherwise the GQA
+    repeat-to-q-heads (reference transformer.py:406-411) lands mid-group
+    on shard boundaries and GSPMD inserts ~1.7 extra all-reduces/layer
+    (measured, docs/multichip.md). When it doesn't divide, REPLICATE the
+    kernel: the cross-attn context is ~130 tokens, so every shard
+    recomputing the full K/V projection costs ~0.3 GFLOP/layer while the
+    repeated K/V becomes a local slice under the head-sharded attention —
+    restoring the Megatron 3-all-reduce/layer pattern (SA-Open: 24 q
+    heads / 12 kv heads over TP=8)."""
+
+    def spec(shape, mesh):
+        kv_groups = shape[-1] // (2 * dim_heads)
+        model = mesh.shape.get("model", 1)
+        if model > 1 and (kv_groups == 0 or kv_groups % model != 0):
+            return P()
+        return P(None, "model")
+
+    return spec
+
+
 DIT_TP_RULES = (
     # attention projections: shard output features over 'model'
     (r"to_qkv/kernel", P(None, "model")),
     (r"to_q/kernel", P(None, "model")),
-    (r"to_kv/kernel", P(None, "model")),
+    (r"to_kv/kernel", gqa_kv_spec()),
     (r"to_out/kernel", P("model", None)),
     # feed-forward
     (r"ff/linear_in/proj/kernel", P(None, "model")),

@@ -289,3 +289,22 @@ def test_ae_gan_dp_mesh_matches_single_device():
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_gqa_kv_spec_replicates_uneven_heads():
+    """12 cross-attn kv heads over TP=8 must replicate the to_kv kernel
+    (uneven head groups force per-layer weight re-gathers otherwise);
+    even splits keep the column sharding."""
+    from jax.sharding import PartitionSpec as P
+
+    from stable_audio_tools_tpu.parallel.mesh import gqa_kv_spec
+
+    spec = gqa_kv_spec(dim_heads=64)
+    mesh8 = create_mesh(data=1, model=8)
+    mesh4 = create_mesh(data=2, model=4)
+    # SA-Open cross-attn: dim_context 768 -> to_kv kernel [768, 1536],
+    # 12 kv-head groups
+    assert spec((768, 1536), mesh8) == P()          # 12 % 8 != 0
+    assert spec((768, 1536), mesh4) == P(None, "model")  # 12 % 4 == 0
+    # degenerate narrow kernel (< one head pair): replicate
+    assert spec((32, 64), mesh8) == P()
