@@ -23,7 +23,11 @@ def main(trace_dir, steps):
     from stable_audio_tools_tpu.inference.generation import generate_diffusion_cond
 
     np.asarray(jax.block_until_ready(jnp.zeros(())))
-    model = create_model_from_config(bench.CONFIG)
+    cfg = bench.CONFIG
+    # 285 s of audio cannot decode in one conv program (HBM); use the
+    # chunked overlap-paste codec exactly like the r1/r2 SA-2.0 rows
+    cfg["model"]["pretransform"]["chunked"] = True
+    model = create_model_from_config(cfg)
     mc = model._multi_conditioner
     conditioning = [{
         "prompt": "An upbeat electronic track with a driving bassline",
