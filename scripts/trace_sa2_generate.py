@@ -23,11 +23,16 @@ def main(trace_dir, steps):
     from stable_audio_tools_tpu.inference.generation import generate_diffusion_cond
 
     np.asarray(jax.block_until_ready(jnp.zeros(())))
-    cfg = bench.CONFIG
+    import copy
+
+    cfg = copy.deepcopy(bench.CONFIG)
     # 285 s of audio cannot decode in one conv program (HBM); use the
     # chunked overlap-paste codec exactly like the r1/r2 SA-2.0 rows
     cfg["model"]["pretransform"]["chunked"] = True
     model = create_model_from_config(cfg)
+    # init through the NON-chunked twin: param creation can't happen inside
+    # the chunk scan (tracer leak); the param tree is identical
+    init_model = create_model_from_config(bench.CONFIG)
     mc = model._multi_conditioner
     conditioning = [{
         "prompt": "An upbeat electronic track with a driving bassline",
@@ -35,13 +40,15 @@ def main(trace_dir, steps):
         "seconds_total": SAMPLE_SIZE / 44100.0,
     }]
     prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(conditioning))
-    latent_T = SAMPLE_SIZE // bench.DOWN
-    x = jnp.zeros((1, bench.DIT["io_channels"], latent_T), jnp.float32)
+    # init at a SHORT length through the non-chunked twin: param shapes are
+    # length-independent, and init_full's single-program decode of the full
+    # 12.5M-sample latent would OOM HBM
+    x = jnp.zeros((1, bench.DIT["io_channels"], 1024), jnp.float32)
     t = jnp.ones((1,))
     variables = jax.jit(
-        lambda x, t: model.init(
+        lambda x, t: init_model.init(
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-            x, t, cond=prepared, method=model.init_full,
+            x, t, cond=prepared, method=init_model.init_full,
         )
     )(x, t)
     jax.block_until_ready(variables)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .embeddings import apply_rotary_pos_emb
+from .embeddings import apply_rotary_pos_emb, apply_rotary_pos_emb_nhd
 from .norms import DynamicTanh
 
 
@@ -234,6 +234,31 @@ def attention_core(
     return dot_product_attention(q, k, v, causal=causal, window=window, mask=mask)
 
 
+def _should_use_nhd(n, h, kv_h, dim_heads, causal, prefix_len, mask,
+                    window) -> bool:
+    """Gate for the transpose-free head-pair (NHD) flash entry.
+
+    Requires: a head PAIR filling exactly one 128-lane tile (dh=64, even
+    head count), self-attention without GQA/window/mask, a prefix only on
+    the non-causal path (the kernel's prefix fold is non-causal), sequences
+    long enough to beat the XLA path, and bounded K/V VMEM residency (the
+    kernel keeps the pair's full K/V rows resident: N*512 B)."""
+    if mask is not None or window is not None:
+        return False
+    if dim_heads * 2 != 128 or h % 2 != 0 or kv_h != h:
+        return False
+    if prefix_len and (causal or prefix_len > 128):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from ..parallel.mesh import in_mesh_program
+
+    if in_mesh_program():
+        return False
+    main = n - prefix_len
+    return 512 <= main <= 16384
+
+
 def _should_use_pallas(q, k, mask) -> bool:
     if mask is not None:
         return False
@@ -420,6 +445,51 @@ class Attention(nn.Module):
                     dim * 3, 3, self.dim_heads, name="to_qkv"
                 )(x, concat_kernel=cache is not None)
                 q_diff = k_diff = None
+
+        # Transpose-free dispatch: the head-pair NHD flash kernel reads
+        # head pairs as 128-lane column tiles straight off the [B, N, H*dh]
+        # projection output and writes the same layout into to_out — no
+        # [B,N,H*dh]->[B,H,N,dh] HBM transposes in or out (2.2 ms/step at
+        # SA-Open scale; see ops/kernels/flash_attention.py).
+        is_causal = self.causal if causal is None else causal
+        if (not has_context and not self.differential and cache is None
+                and q.ndim == 3
+                and _should_use_nhd(q.shape[1], h, kv_h, self.dim_heads,
+                                    is_causal, self.prefix_len, mask,
+                                    sliding_window)):
+            from .kernels.flash_attention import flash_attention_nhd
+
+            b, n = q.shape[:2]
+            to_nhd = lambda t: t.reshape(b, n, h, self.dim_heads)
+            qn, kn, vn = to_nhd(q), to_nhd(k), to_nhd(v)
+            # qk-norm acts on the last (dh) axis: identical params and math
+            # in either layout
+            if self.qk_norm == "l2":
+                qn = qn / (jnp.linalg.norm(qn, axis=-1, keepdims=True) + 1e-12)
+                kn = kn / (jnp.linalg.norm(kn, axis=-1, keepdims=True) + 1e-12)
+            elif self.qk_norm == "ln":
+                q_norm = nn.LayerNorm(epsilon=1e-6, name="q_norm",
+                                      param_dtype=jnp.float32)
+                k_norm = nn.LayerNorm(epsilon=1e-6, name="k_norm",
+                                      param_dtype=jnp.float32)
+                qn = q_norm(qn.astype(jnp.float32)).astype(qn.dtype)
+                kn = k_norm(kn.astype(jnp.float32)).astype(kn.dtype)
+            elif self.qk_norm == "dyt":
+                qn = DynamicTanh(self.dim_heads, name="q_norm")(qn)
+                kn = DynamicTanh(self.dim_heads, name="k_norm")(kn)
+            if rotary_pos_emb is not None:
+                qn = apply_rotary_pos_emb_nhd(qn, rotary_pos_emb)
+                kn = apply_rotary_pos_emb_nhd(kn, rotary_pos_emb)
+            out = flash_attention_nhd(
+                qn, kn, vn, is_causal,
+                0 if is_causal else self.prefix_len,
+            )
+            out = out.reshape(b, n, dim)
+            out = QuantizableDense(
+                dim, use_bias=False, name="to_out",
+                zero_init=self.zero_init_output,
+            )(out)
+            return self._apply_feat_scale(out)
 
         def split_heads(t, nh):
             if t.ndim == 4:  # already [B, H, N, dh] from the fused paths

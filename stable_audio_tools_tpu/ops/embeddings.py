@@ -71,6 +71,22 @@ def apply_rotary_pos_emb(t: jax.Array, freqs: jax.Array, scale: float = 1.0) -> 
     return jnp.concatenate([t_rot, t_pass], axis=-1).astype(out_dtype)
 
 
+def apply_rotary_pos_emb_nhd(t: jax.Array, freqs: jax.Array,
+                             scale: float = 1.0) -> jax.Array:
+    """Rotary for the transpose-free [B, N, H, dh] activation layout
+    (sequence on axis 1): same math as apply_rotary_pos_emb with the freqs
+    broadcast over the head axis instead of the sequence axis."""
+    out_dtype = t.dtype
+    rot_dim = freqs.shape[-1]
+    n = t.shape[1]
+    freqs = freqs[-n:, :].astype(jnp.float32)[:, None, :]
+    tf = t.astype(jnp.float32)
+    t_rot, t_pass = tf[..., :rot_dim], tf[..., rot_dim:]
+    t_rot = (t_rot * jnp.cos(freqs) * scale
+             + _rotate_half(t_rot) * jnp.sin(freqs) * scale)
+    return jnp.concatenate([t_rot, t_pass], axis=-1).astype(out_dtype)
+
+
 class RotaryEmbedding(nn.Module):
     """Stateless rotary embedding table generator (no params)."""
 

@@ -281,3 +281,33 @@ def test_nhd_pair_grads(causal, P):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("qk_norm,use_rope,prefix,causal", [
+    ("none", True, 0, False),
+    ("ln", True, 1, False),
+    ("l2", False, 9, False),
+    ("none", True, 0, True),
+])
+def test_attention_nhd_dispatch_matches_standard(qk_norm, use_rope, prefix,
+                                                 causal, monkeypatch):
+    """The wired NHD branch in Attention (reshape + NHD qk-norm + NHD rotary
+    + pair kernel) must match the standard split-head path bit-for-bit in
+    semantics (same params, same math, different layout)."""
+    import stable_audio_tools_tpu.ops.attention as attn_mod
+    from stable_audio_tools_tpu.ops.embeddings import RotaryEmbedding
+
+    rng = np.random.RandomState(11)
+    B, N, dim, dh = 2, 256 + prefix, 256, 64
+    m = attn_mod.Attention(dim=dim, dim_heads=dh, qk_norm=qk_norm,
+                           causal=causal, prefix_len=prefix)
+    x = jnp.asarray(rng.randn(B, N, dim).astype(np.float32))
+    rot = RotaryEmbedding(dim=dh // 2)(N) if use_rope else None
+    params = m.init(jax.random.PRNGKey(0), x, rotary_pos_emb=rot)
+
+    ref = m.apply(params, x, rotary_pos_emb=rot)
+    monkeypatch.setattr(attn_mod, "_should_use_nhd",
+                        lambda *a, **k: True)
+    out = m.apply(params, x, rotary_pos_emb=rot)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
