@@ -49,15 +49,21 @@ def main():
         state, disc_logs = trainer.train_step(state, reals, jax.random.fold_in(rng, 2 * i + 1), 2 * i + 1)
         return state, (gen_logs, disc_logs)
 
+    def sync(state):
+        # block_until_ready is not a device fence on the axon backend; a
+        # host transfer is the only reliable sync (docs/performance.md)
+        leaf = jax.tree_util.tree_leaves(state)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
     # compile both phase programs
     state, logs = pair(state, 0)
-    state = jax.block_until_ready(state)
+    sync(state)
 
     n = 10
     t0 = time.time()
     for i in range(1, n + 1):
         state, logs = pair(state, i)
-    state = jax.block_until_ready(state)
+    sync(state)
     ms = (time.time() - t0) / n * 1000
     audio_sec = BATCH * SAMPLES / 44100.0
     print(json.dumps({

@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops.conv import (Conv1d, WNConv1d, WNConv2d, pack_w_pairs,
                         unpack_w_pairs)
-from ..ops.stft import hann_window, stft
+from ..ops.stft import stft_reim_conv
 
 
 def get_hinge_losses(score_real, score_fake):
@@ -76,15 +76,19 @@ class DiscriminatorSTFT(nn.Module):
     def __call__(self, x):
         """x: [B, C, T] → (logits [B, t, w, 1], fmaps)."""
         B, C, T = x.shape
-        window = jnp.asarray(hann_window(self.win_length))
         flat = x.reshape(B * C, T)
-        z = stft(flat, self.n_fft, self.hop_length, self.win_length, center=False)
-        if self.normalized:
-            z = z / jnp.sqrt(jnp.sum(window ** 2))
-        # [B, C, frames, bins] → NHWC [B, t, w, 2C]
-        z = z.reshape(B, C, z.shape[-2], z.shape[-1])
-        z = jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=1)
-        z = z.transpose(0, 2, 3, 1)  # [B, frames(t), bins(w), 2C]
+        # conv-DFT STFT (one strided MXU conv, window + 1/sqrt(sum w²)
+        # normalization baked into the kernel) instead of unfold+rfft —
+        # exact to ~1e-6 (tests/test_stft.py) and kills the fft op soup
+        # that dominated the disc phase of the GAN-step trace
+        z = stft_reim_conv(flat, self.n_fft, self.hop_length,
+                           self.win_length, center=False,
+                           normalized=self.normalized)
+        bins = self.n_fft // 2 + 1
+        # [B*C, frames, (re bins | im bins)] → NHWC [B, t, w, 2C] with the
+        # reference channel order [re_c0..re_cC, im_c0..im_cC]
+        z = z.reshape(B, C, z.shape[-2], 2, bins)
+        z = z.transpose(0, 2, 4, 3, 1).reshape(B, z.shape[2], bins, 2 * C)
         # conv stack in the configured compute dtype: f32 convs bypass the
         # MXU on v5e (docs/performance.md); STFT itself stays f32
         z = z.astype(jnp.dtype(self.compute_dtype))
@@ -407,10 +411,11 @@ class DACMRD(nn.Module):
         B, C, T = x.shape
         hop = int(self.n_fft * self.hop_factor)
         flat = x.reshape(B * C, T)
-        z = stft(flat, self.n_fft, hop, self.n_fft)
-        z = z.reshape(B, C, z.shape[-2], z.shape[-1])
-        zr = jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=1)  # [B, 2C, t, f]
-        zr = zr.transpose(0, 2, 3, 1)  # [B, t, f, 2C]
+        z = stft_reim_conv(flat, self.n_fft, hop, self.n_fft)
+        bins = self.n_fft // 2 + 1
+        # [B*C, t, (re bins | im bins)] → [B, t, f, 2C], order [re×C, im×C]
+        zr = z.reshape(B, C, z.shape[-2], 2, bins)
+        zr = zr.transpose(0, 2, 4, 3, 1).reshape(B, zr.shape[2], bins, 2 * C)
         zr = zr.astype(jnp.dtype(self.compute_dtype))
         n_bins = zr.shape[2]
         fmap = []

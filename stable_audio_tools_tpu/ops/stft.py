@@ -62,8 +62,7 @@ def _frame(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
 
 
 def spectrogram(x, n_fft, hop_length, win_length, power=1.0, eps=1e-8, center=True):
-    s = stft(x, n_fft, hop_length, win_length, center=center)
-    mag = jnp.sqrt(jnp.clip(jnp.real(s) ** 2 + jnp.imag(s) ** 2, eps, None))
+    mag = stft_mag_conv(x, n_fft, hop_length, win_length, center=center, eps=eps)
     if power != 1.0:
         mag = mag ** power
     return mag
@@ -137,18 +136,134 @@ def a_weighting_fir(ntaps: int = 101, sr: int = 44100) -> np.ndarray:
     return taps.astype(np.float32)
 
 
+_FIR_FOLD = 128  # fold samples into 128 channels: full MXU/VPU lane width
+
+
+@lru_cache(maxsize=8)
+def _fir_toeplitz_kernel(taps_key, ntaps: int) -> np.ndarray:
+    """Taps [ntaps] → banded conv kernel [kw, F, F] over _FIR_FOLD-sample
+    frames, exactly equivalent to same-centered FIR filtering.
+
+    y[128f+co] = sum_k h[k] x[128f+co+k-pad]  (correlation, torch F.conv1d
+    semantics; pad = ntaps//2, zero edges) with x folded [T] → [T/128, 128]:
+    K[jj, ci, co] = h[128(jj-c) + ci - co + pad]. A C=1 depthwise FIR conv
+    runs at a pathological T(1,128) layout on TPU (~10 ms per [8,32768]
+    call, measured in the GAN-step trace); this folded form is one
+    full-lane matmul-conv."""
+    taps = np.asarray(taps_key, np.float32)
+    pad = ntaps // 2
+    F = _FIR_FOLD
+    # frame offsets jj-c must cover k = 128(jj-c) + ci - co + pad ∈ [0, ntaps)
+    reach_l = (pad + F - 1) // F              # frames back
+    reach_r = (ntaps - 1 - pad + F - 1) // F  # frames forward
+    kw = reach_l + reach_r + 1
+    c = reach_l
+    k_idx = (np.arange(F)[None, :, None]      # ci
+             - np.arange(F)[None, None, :]    # co
+             + pad
+             + F * (np.arange(kw)[:, None, None] - c))
+    valid = (k_idx >= 0) & (k_idx < ntaps)
+    kern = np.where(valid, taps[np.clip(k_idx, 0, ntaps - 1)], 0.0)
+    return kern.astype(np.float32), c, kw - 1 - c
+
+
 def apply_fir(x: jax.Array, taps: np.ndarray) -> jax.Array:
-    """x: [B, C, T] or [B, T]; same-length FIR filtering (depthwise)."""
-    orig_2d = x.ndim == 2
-    if orig_2d:
-        x = x[:, None, :]
-    B, C, T = x.shape
-    xl = jnp.swapaxes(x, 1, 2)
-    k = jnp.tile(jnp.asarray(taps)[:, None, None], (1, 1, C)).astype(x.dtype)
-    pad = len(taps) // 2
+    """x: [B, C, T] or [B, T]; same-length FIR filtering (zero edge pad).
+
+    Equivalent to torch F.conv1d(x, taps, padding=ntaps//2) per channel, but
+    run over 128-sample frames as a [kw,128,128] banded conv so it uses the
+    full TPU lane width (exact: tests/test_stft.py)."""
+    orig_shape = x.shape
+    T = x.shape[-1]
+    flat = x.reshape(-1, T)
+    F = _FIR_FOLD
+    Tp = -(-T // F) * F
+    if Tp != T:
+        flat = jnp.pad(flat, ((0, 0), (0, Tp - T)))
+    kern, pl, pr = _fir_toeplitz_kernel(tuple(np.asarray(taps, np.float32)),
+                                        len(taps))
     out = jax.lax.conv_general_dilated(
-        xl, k, window_strides=(1,), padding=[(pad, len(taps) - 1 - pad)],
-        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
+        flat.reshape(flat.shape[0], Tp // F, F),
+        jnp.asarray(kern).astype(x.dtype),
+        window_strides=(1,), padding=[(pl, pr)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
-    out = jnp.swapaxes(out, 1, 2)
-    return out[:, 0] if orig_2d else out
+    return out.reshape(flat.shape[0], Tp)[:, :T].reshape(orig_shape)
+
+
+@lru_cache(maxsize=64)
+def _dft_conv_kernel(n_fft: int, win_length: int, fold: int,
+                     normalized: bool, interleave: bool) -> np.ndarray:
+    """Windowed real-DFT basis as a conv kernel [n_fft//fold, fold, 2*bins].
+
+    Output channel order: [re_0..re_B, im_0..im_B] (interleave=False) or
+    [re_0, im_0, re_1, im_1, ...] (interleave=True). Matches
+    rfft(frame * window): X_b = sum_n w[n] x[n] e^{-2πi b n / n_fft}."""
+    win = hann_window(win_length)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        win = np.pad(win, (pad, n_fft - win_length - pad))
+    if normalized:
+        win = win / np.sqrt(np.sum(win ** 2))
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    b = np.arange(bins)[None, :]
+    ang = 2.0 * np.pi * n * b / n_fft
+    re = (win[:, None] * np.cos(ang)).astype(np.float32)
+    im = (-win[:, None] * np.sin(ang)).astype(np.float32)
+    if interleave:
+        k = np.stack([re, im], axis=-1).reshape(n_fft, 2 * bins)
+    else:
+        k = np.concatenate([re, im], axis=-1)
+    return k.reshape(n_fft // fold, fold, 2 * bins)
+
+
+def stft_reim_conv(x: jax.Array, n_fft: int, hop_length: int, win_length: int,
+                   center: bool = True, normalized: bool = False,
+                   interleave: bool = False) -> jax.Array:
+    """STFT as ONE strided MXU convolution: x [..., T] → f32
+    [..., frames, 2*bins] real/imag parts (channel order per `interleave`).
+
+    Exactly the framing/window/rfft semantics of stft() (same frame count,
+    torch-style reflect center pad), but as a windowed-DFT-basis conv —
+    no unfold reshapes, no pads, no VPU FFT; forward AND backward are
+    single MXU convs. The DFT matmul runs at Precision.HIGHEST, ~1e-6
+    relative vs jnp.fft.rfft (tests/test_stft.py). Replaces the rfft path
+    in the STFT losses and the MS-STFT discriminator front-end, where the
+    unfold+fft op soup measured ~25% of the whole VAE-GAN step pair."""
+    T = x.shape[-1]
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, T).astype(jnp.float32)
+    if center:
+        pad = n_fft // 2
+        flat = jnp.pad(flat, ((0, 0), (pad, pad)), mode="reflect")
+        T = T + 2 * pad
+    # fold the signal into hop-or-smaller channels: free row-major reshape,
+    # and the conv then reads unstrided full-lane frames
+    fold = math.gcd(n_fft, hop_length)
+    kern = jnp.asarray(_dft_conv_kernel(n_fft, win_length, fold,
+                                        normalized, interleave))
+    Tp = -(-T // fold) * fold
+    if Tp != T:
+        flat = jnp.pad(flat, ((0, 0), (0, Tp - T)))
+    out = jax.lax.conv_general_dilated(
+        flat.reshape(flat.shape[0], Tp // fold, fold),
+        kern,
+        window_strides=(hop_length // fold,),
+        padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n_frames = 1 + (T - n_fft) // hop_length
+    out = out[:, :n_frames]
+    return out.reshape(*lead, n_frames, out.shape[-1])
+
+
+def stft_mag_conv(x: jax.Array, n_fft: int, hop_length: int, win_length: int,
+                  center: bool = True, eps: float = 1e-8) -> jax.Array:
+    """|STFT| via the conv-DFT path: [..., T] → f32 [..., frames, bins]."""
+    reim = stft_reim_conv(x, n_fft, hop_length, win_length, center=center)
+    bins = n_fft // 2 + 1
+    re, im = reim[..., :bins], reim[..., bins:]
+    return jnp.sqrt(jnp.clip(re * re + im * im, eps, None))

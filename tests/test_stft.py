@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from stable_audio_tools_tpu.ops.stft import hann_window, stft
@@ -58,3 +59,84 @@ def test_stft_uncentered_matches_torch():
     assert got.shape == ref.shape
     np.testing.assert_allclose(got.real, ref.real, rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(got.imag, ref.imag, rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_fft,hop,win,center", [
+    (2048, 512, 2048, True),
+    (1024, 256, 1024, False),
+    (512, 128, 512, True),
+    (32, 8, 32, True),
+    (1024, 256, 600, True),
+])
+def test_stft_reim_conv_matches_fft(n_fft, hop, win, center):
+    """The conv-DFT STFT (one strided MXU conv; used by the STFT losses and
+    the MS-STFT/MRD discriminator front-ends) must reproduce the rfft path
+    exactly (reference framing: stable_audio_tools/training/losses/auraloss.py
+    STFT + encodec.py discriminator STFT)."""
+    from stable_audio_tools_tpu.ops.stft import stft_reim_conv
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 4096).astype(np.float32))
+    s = np.asarray(stft(x, n_fft, hop, win, center=center))
+    reim = np.asarray(stft_reim_conv(x, n_fft, hop, win, center=center))
+    bins = n_fft // 2 + 1
+    assert reim.shape == (*s.shape[:-1], 2 * bins)
+    scale = np.abs(s).max()
+    np.testing.assert_allclose(reim[..., :bins], s.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(reim[..., bins:], s.imag, atol=3e-5 * scale)
+    # interleaved channel order and kernel-baked normalization
+    ri = np.asarray(
+        stft_reim_conv(x, n_fft, hop, win, center=center, interleave=True)
+    ).reshape(*s.shape, 2)
+    np.testing.assert_allclose(ri[..., 0], s.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(ri[..., 1], s.imag, atol=3e-5 * scale)
+    w = hann_window(win)
+    if win < n_fft:
+        p = (n_fft - win) // 2
+        w = np.pad(w, (p, n_fft - win - p))
+    ns = np.asarray(
+        stft_reim_conv(x, n_fft, hop, win, center=center, normalized=True)
+    )
+    np.testing.assert_allclose(
+        ns * np.sqrt((w ** 2).sum()), reim, rtol=1e-4, atol=3e-5 * scale
+    )
+
+
+def test_apply_fir_folded_matches_depthwise():
+    """apply_fir's folded [kw,128,128] Toeplitz form must equal the naive
+    depthwise FIR (torch F.conv1d semantics, auraloss FIRFilter)."""
+    from stable_audio_tools_tpu.ops.stft import a_weighting_fir, apply_fir
+
+    taps = a_weighting_fir(101, 44100)
+
+    def naive(x, taps):
+        orig_2d = x.ndim == 2
+        if orig_2d:
+            x = x[:, None, :]
+        B, C, T = x.shape
+        xl = jnp.swapaxes(x, 1, 2)
+        k = jnp.tile(jnp.asarray(taps)[:, None, None], (1, 1, C)).astype(x.dtype)
+        pad = len(taps) // 2
+        out = jax.lax.conv_general_dilated(
+            xl, k, window_strides=(1,),
+            padding=[(pad, len(taps) - 1 - pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
+        )
+        out = jnp.swapaxes(out, 1, 2)
+        return out[:, 0] if orig_2d else out
+
+    rng = np.random.RandomState(4)
+    for shape in [(2, 4000), (2, 3, 4096), (1, 1, 100)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(apply_fir(x, taps)), np.asarray(naive(x, taps)),
+            atol=2e-5,
+        )
+    # asymmetric (non-linear-phase) taps exercise the correlation orientation
+    taps2 = np.concatenate([a_weighting_fir(101, 44100)[:60],
+                            np.zeros(11, np.float32)])
+    x = jnp.asarray(rng.randn(2, 515).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(apply_fir(x, taps2)), np.asarray(naive(x, taps2)),
+        atol=2e-5,
+    )
