@@ -73,8 +73,14 @@ class DiscriminatorSTFT(nn.Module):
     use_w_packed: bool = True  # lane-packed conv stack (exact; tests compare)
 
     @nn.compact
-    def __call__(self, x):
-        """x: [B, C, T] → (logits [B, t, w, 1], fmaps)."""
+    def __call__(self, x, packed_fmaps: bool = False):
+        """x: [B, C, T] → (logits [B, t, w, 1], fmaps).
+
+        packed_fmaps=True returns fmaps in the packed [B,t,W/2,2C] layout
+        instead of unpacking each one. The pad column is kept exactly zero,
+        so loss reductions stay exact by dividing sums by the true valid
+        count (see EncodecDiscriminator.loss); skipping the per-fmap
+        unpack+slice copies saved ~20 ms/pair of the SA-2.0 GAN step."""
         B, C, T = x.shape
         flat = x.reshape(B * C, T)
         # conv-DFT STFT (one strided MXU conv, window + 1/sqrt(sum w²)
@@ -117,18 +123,26 @@ class DiscriminatorSTFT(nn.Module):
                 return z
             return unpack_w_pairs(z)[:, :, :w_valid]
 
+        def keep(z):
+            return z if (packed and packed_fmaps) else finish(z)
+
         def mask_edge(z):
             if not packed or w_valid % 2 == 0:
                 return z
-            C2 = z.shape[-1] // 2
-            return z.at[:, :, -1, C2:].set(0.0)
+            # static multiplicative mask (zeros only the pad half of the last
+            # packed column) — fuses into the activation pass, unlike the
+            # .at[].set dynamic-update-slice it replaces
+            W2, C2 = z.shape[2], z.shape[-1] // 2
+            m = np.ones((W2, 2 * C2), np.float32)
+            m[-1, C2:] = 0.0
+            return z * jnp.asarray(m, z.dtype)
 
         fmap = []
         z = WNConv2d(self.filters, self.kernel_size,
                      padding=pad2d(self.kernel_size), w_packed=packed,
                      name="conv_in")(z)
         z = mask_edge(jax.nn.leaky_relu(z, 0.2))
-        fmap.append(finish(z))
+        fmap.append(keep(z))
         in_chs = min(self.filters_scale * self.filters, self.max_filters)
         for i, dilation in enumerate(self.dilations):
             out_chs = min((self.filters_scale ** (i + 1)) * self.filters,
@@ -141,7 +155,7 @@ class DiscriminatorSTFT(nn.Module):
                 name=f"conv_{i}",
             )(z)
             z = mask_edge(jax.nn.leaky_relu(z, 0.2))
-            fmap.append(finish(z))
+            fmap.append(keep(z))
             in_chs = out_chs
         out_chs = min(
             (self.filters_scale ** (len(self.dilations) + 1)) * self.filters,
@@ -151,7 +165,7 @@ class DiscriminatorSTFT(nn.Module):
         z = WNConv2d(out_chs, ks2, padding=pad2d(ks2), w_packed=packed,
                      name="conv_pre_post")(z)
         z = mask_edge(jax.nn.leaky_relu(z, 0.2))
-        fmap.append(finish(z))
+        fmap.append(keep(z))
         z = WNConv2d(self.out_channels, ks2, padding=pad2d(ks2),
                      w_packed=packed, name="conv_post")(z)
         return finish(z).astype(jnp.float32), fmap
@@ -168,7 +182,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     use_w_packed: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, packed_fmaps: bool = False):
         logits, fmaps = [], []
         for i in range(len(self.n_ffts)):
             logit, fmap = DiscriminatorSTFT(
@@ -178,7 +192,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 compute_dtype=self.compute_dtype,
                 use_w_packed=self.use_w_packed,
                 name=f"disc_{i}",
-            )(x)
+            )(x, packed_fmaps=packed_fmaps)
             logits.append(logit)
             fmaps.append(fmap)
         return logits, fmaps
@@ -211,23 +225,32 @@ class EncodecDiscriminator(nn.Module):
         return self.discriminators(x)
 
     def loss(self, reals, fakes):
+        # fmaps stay in the packed layout (zero pad column); reductions below
+        # divide by the true valid element count, so the numbers are exact
+        fwd = lambda y: self.discriminators(y, packed_fmaps=True)
         (logits_true, feature_true), (logits_fake, feature_fake) = (
-            stacked_real_fake(self.discriminators, reals, fakes)
+            stacked_real_fake(fwd, reals, fakes)
         )
 
-        # feature maps may be bf16 (compute_dtype): reduce in f32
-        if self.normalize_losses:
-            fm = lambda a, b: (jnp.mean(jnp.abs(a - b).astype(jnp.float32))
-                               / (jnp.mean(jnp.abs(a).astype(jnp.float32)) + 1e-3))
-        else:
-            fm = lambda a, b: jnp.mean(jnp.abs(a - b).astype(jnp.float32))
+        # feature maps may be bf16 (compute_dtype): reduce in f32.
+        # `frac` = valid fraction of a (possibly pad-column-packed) fmap;
+        # the pad column is zero in BOTH real and fake so |a-b| sums are
+        # unaffected and only the mean's divisor needs the correction.
+        def fm(a, b, frac):
+            n = a.size * frac
+            d = jnp.sum(jnp.abs(a - b).astype(jnp.float32)) / n
+            if self.normalize_losses:
+                d = d / (jnp.sum(jnp.abs(a).astype(jnp.float32)) / n + 1e-3)
+            return d
 
         dis_loss = 0.0
         adv_loss = 0.0
         feature_matching = 0.0
         for i, (scale_true, scale_fake) in enumerate(zip(feature_true, feature_fake)):
+            bins = self.n_ffts[i] // 2 + 1
             feature_matching = feature_matching + sum(
-                fm(a, b) for a, b in zip(scale_true, scale_fake)
+                fm(a, b, bins / (2 * a.shape[2]) if a.shape[2] != bins else 1.0)
+                for a, b in zip(scale_true, scale_fake)
             ) / len(scale_true)
             if self.loss_type == "hinge":
                 d, a = get_hinge_losses(logits_true[i], logits_fake[i])

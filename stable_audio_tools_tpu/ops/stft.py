@@ -267,3 +267,84 @@ def stft_mag_conv(x: jax.Array, n_fft: int, hop_length: int, win_length: int,
     bins = n_fft // 2 + 1
     re, im = reim[..., :bins], reim[..., bins:]
     return jnp.sqrt(jnp.clip(re * re + im * im, eps, None))
+
+
+@lru_cache(maxsize=64)
+def _dft_conv_kernel_framepacked(n_fft: int, win_length: int, hop: int,
+                                 k: int, fold: int,
+                                 normalized: bool) -> np.ndarray:
+    """DFT basis computing k consecutive frames per conv position.
+
+    Kernel [rows, fold, 2*k*bins]: channel j*bins+b of the first (re) half
+    is frame j's bin b, basis shifted by j*hop rows; im half follows. The
+    small-n_fft loss STFTs ([.., frames, 17..65] channels) waste 50-87% of
+    the 128-lane tile; packing k frames into channels fills the lanes and
+    shrinks the tensors the downstream mag/log chains stream by the same
+    factor."""
+    base = _dft_conv_kernel(n_fft, win_length, 1, normalized, False)
+    base = base.reshape(n_fft, -1)  # [n_fft, 2*bins]
+    bins = n_fft // 2 + 1
+    L = n_fft + (k - 1) * hop
+    rows = -(-L // fold)
+    kern = np.zeros((rows * fold, 2 * k * bins), np.float32)
+    for j in range(k):
+        kern[j * hop:j * hop + n_fft, j * bins:(j + 1) * bins] = base[:, :bins]
+        kern[j * hop:j * hop + n_fft,
+             (k + j) * bins:(k + j + 1) * bins] = base[:, bins:]
+    return kern.reshape(rows, fold, 2 * k * bins)
+
+
+def stft_mag_conv_framepacked(
+    x: jax.Array, n_fft: int, hop_length: int, win_length: int, k: int,
+    center: bool = True, eps: float = 1e-8, normalized: bool = False,
+):
+    """|STFT| with k frames packed into channels.
+
+    [..., T] → (mag f32 [..., n_packed, k*bins], n_frames, mask) where
+    mag[..., p, j*bins + b] = |STFT|[..., p*k + j, b]. Positions past
+    n_frames (the last packed step when k doesn't divide the frame count)
+    see zero-padded signal, so their re/im are exactly 0 and mag is exactly
+    sqrt(eps); `mask` is a static [n_packed, k*bins] 0/1 array selecting
+    valid frames (None when k divides evenly). Loss reductions stay exact
+    by multiplying by mask (sum-style terms) or rescaling means by the
+    valid fraction — see training/losses/auraloss.py::STFTLoss."""
+    assert k >= 1
+    bins = n_fft // 2 + 1
+    T = x.shape[-1]
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, T).astype(jnp.float32)
+    if center:
+        pad = n_fft // 2
+        flat = jnp.pad(flat, ((0, 0), (pad, pad)), mode="reflect")
+        T = T + 2 * pad
+    n_frames = 1 + (T - n_fft) // hop_length
+    n_packed = -(-n_frames // k)
+    fold = k * hop_length  # stride 1 in folded space
+    kern = jnp.asarray(_dft_conv_kernel_framepacked(
+        n_fft, win_length, hop_length, k, fold, normalized))
+    rows = kern.shape[0]
+    # signal long enough for n_packed positions of the rows*fold window
+    need = (n_packed - 1) * fold + rows * fold
+    if need > T:
+        flat = jnp.pad(flat, ((0, 0), (0, need - T)))
+    elif T % fold:
+        flat = jnp.pad(flat, ((0, 0), (0, fold - T % fold)))
+    Tp = flat.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        flat.reshape(flat.shape[0], Tp // fold, fold),
+        kern,
+        window_strides=(1,),
+        padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = out[:, :n_packed]
+    re, im = out[..., :k * bins], out[..., k * bins:]
+    mag = jnp.sqrt(jnp.clip(re * re + im * im, eps, None))
+    mag = mag.reshape(*lead, n_packed, k * bins)
+    mask = None
+    if n_packed * k != n_frames:
+        m = np.zeros((n_packed, k, bins), np.float32)
+        m.reshape(n_packed * k, bins)[:n_frames] = 1.0
+        mask = m.reshape(n_packed, k * bins)
+    return mag, n_frames, mask

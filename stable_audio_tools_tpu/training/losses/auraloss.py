@@ -24,6 +24,7 @@ from ...ops.stft import (
     apply_fir,
     mel_filterbank,
     stft_mag_conv,
+    stft_mag_conv_framepacked,
 )
 
 
@@ -120,20 +121,44 @@ class STFTLoss:
             if xy.ndim == 2:
                 xy = xy[:, None]
             xy = apply_fir(xy, self._aw_taps)
-        mag = self._mag(xy)
+
+        # frame-pack small-n_fft scales so the [.., frames, bins<=65] mag
+        # tensors fill the 128-lane tile instead of wasting 50-87% of it
+        # (ops/stft.py::stft_mag_conv_framepacked). Exact: SC terms are
+        # masked sums; mean-style terms replace invalid tail frames by 1.0
+        # on BOTH sides (diff contributes exactly 0) and rescale the mean
+        # by the valid fraction. Mel rebinning and scale-invariance need
+        # the plain [frames, bins] layout — packing is skipped there.
+        bins = self.fft_size // 2 + 1
+        k = max(1, 512 // (2 * bins))
+        if k >= 2 and self._fb is None and not self.scale_invariance:
+            flat = xy.reshape(-1, xy.shape[-1])
+            mag, n_frames, mask = stft_mag_conv_framepacked(
+                flat, self.fft_size, self.hop_size, self.win_length, k,
+                eps=self.eps)
+            frac = n_frames / (mag.shape[-2] * k)
+        else:
+            mag, mask, frac = self._mag(xy), None, 1.0
         x_mag, y_mag = jnp.split(mag, 2, axis=0)
         if self.scale_invariance:
             alpha = jnp.sum(x_mag * y_mag, axis=(-2, -1), keepdims=True) / (
                 jnp.sum(y_mag ** 2, axis=(-2, -1), keepdims=True) + self.eps
             )
             y_mag = y_mag * alpha
+        if mask is None:
+            x_sc, y_sc, x_ml, y_ml = x_mag, y_mag, x_mag, y_mag
+        else:
+            m = jnp.asarray(mask)
+            inv = jnp.asarray(1.0 - mask)
+            x_sc, y_sc = x_mag * m, y_mag * m
+            x_ml, y_ml = x_mag * m + inv, y_mag * m + inv
         loss = 0.0
         if self.w_sc:
-            loss = loss + self.w_sc * self.sc(x_mag, y_mag)
+            loss = loss + self.w_sc * self.sc(x_sc, y_sc)
         if self.w_log_mag:
-            loss = loss + self.w_log_mag * self.logmag(x_mag, y_mag)
+            loss = loss + self.w_log_mag * self.logmag(x_ml, y_ml) / frac
         if self.w_lin_mag:
-            loss = loss + self.w_lin_mag * self.linmag(x_mag, y_mag)
+            loss = loss + self.w_lin_mag * self.linmag(x_ml, y_ml) / frac
         return loss
 
 

@@ -64,6 +64,26 @@ def test_stft_loss_stacked_matches_per_signal_2d_input():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("fft,hop,T", [
+    (32, 8, 1024),    # k=15, frames=129: non-dividing tail (129 % 15 != 0)
+    (32, 8, 952),     # frames=120: divides evenly (mask is None)
+    (64, 16, 1000),   # k=7, frames with partially-real tail frames
+    (128, 32, 700),   # k=3
+])
+def test_stft_loss_framepacked_matches_plain(fft, hop, T):
+    # the lane-packing rewrite must be numerically exact incl. the invalid
+    # tail frames that partially overlap real signal
+    loss = STFTLoss(fft_size=fft, hop_size=hop, win_length=fft,
+                    w_sc=1.0, w_log_mag=1.0, w_lin_mag=0.5)
+    x, y = _rand((2, 2, T), 4), _rand((2, 2, T), 5)
+    got = loss(x, y)
+    x_mag, y_mag = loss._mag(x), loss._mag(y)
+    want = (loss.sc(x_mag, y_mag) + loss.logmag(x_mag, y_mag)
+            + 0.5 * loss.linmag(x_mag, y_mag))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.slow
 def test_sum_and_difference_stacked_matches_full_path():
     """output='loss' (stacked sum/diff batch) == output='full' (two calls)."""

@@ -138,3 +138,37 @@ def test_snake_beta_fast_flag(monkeypatch):
     fast = A.snake_beta(x, a, b)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_snake_beta_fast_custom_vjp_grads(monkeypatch):
+    # The fast path's analytic custom VJP must match autodiff through the
+    # exact jnp.sin formula for x, alpha and beta grads.
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from stable_audio_tools_tpu.ops import activations as A
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 513, 8) * 3, jnp.float32)
+    a = jnp.asarray(np.exp(np.random.RandomState(1).randn(8) * 0.3), jnp.float32)
+    b = jnp.asarray(np.exp(np.random.RandomState(2).randn(8) * 0.3), jnp.float32)
+    ct = jnp.asarray(np.random.RandomState(3).randn(2, 513, 8), jnp.float32)
+
+    def loss_exact(x, a, b):
+        s = jnp.sin(x * a)
+        return jnp.sum((x + (1.0 / (b + 1e-9)) * (s * s)) * ct)
+
+    def loss_fast(x, a, b):
+        return jnp.sum(A._snake_fast(x, a, b) * ct)
+
+    ge = jax.grad(loss_exact, argnums=(0, 1, 2))(x, a, b)
+    gf = jax.grad(loss_fast, argnums=(0, 1, 2))(x, a, b)
+    for e, f in zip(ge, gf):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4)
+
+    # bf16 in/out keeps bf16 cotangants and f32 param grads
+    xb = x.astype(jnp.bfloat16)
+    out, vjp = jax.vjp(A._snake_fast, xb, a, b)
+    dx, da, db = vjp(out)
+    assert out.dtype == jnp.bfloat16 and dx.dtype == jnp.bfloat16
+    assert da.dtype == jnp.float32 and db.dtype == jnp.float32
