@@ -166,13 +166,20 @@ def main():
             sampler_type="dpmpp-3m-sde", sigma_min=0.3, sigma_max=500.0,
         )
 
+    def sync(a):
+        # block_until_ready is not a reliable device fence on the axon
+        # backend (docs/performance.md); a host transfer is the only sync
+        np.asarray(jax.device_get(a.ravel()[0]))
+
     # compile + warmup
-    audio = jax.block_until_ready(run(0))
+    audio = run(0)
+    sync(audio)
     # timed runs
     n_runs = 3
     t0 = time.time()
     for i in range(1, n_runs + 1):
-        audio = jax.block_until_ready(run(i))
+        audio = run(i)
+        sync(audio)
     wall = (time.time() - t0) / n_runs
 
     audio_seconds = SAMPLE_SIZE / 44100.0

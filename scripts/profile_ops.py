@@ -4,9 +4,11 @@ Usage:
     python scripts/profile_ops.py /tmp/trace_dir [filter_regex]
 
 Works with the TensorFlow tsl xplane proto shipped in this image (the
-tensorboard_plugin_profile converter is version-mismatched here). Prints the
-top op categories and individual ops by accumulated duration on the TPU
-plane — the tool behind the step profiles in docs/performance.md.
+tensorboard_plugin_profile converter is version-mismatched here). Prints
+time grouped three ways — by hlo_category, by SOURCE LINE (from the op
+metadata's `source` stat, with model-FLOPS rates), and the top individual
+ops — the tool behind the step profiles in docs/performance.md. The
+by-source table is usually the one that tells you what to fix.
 """
 import glob
 import re
@@ -29,31 +31,48 @@ def main():
     if not tpu:
         raise SystemExit(f"no TPU plane; planes: {[p.name for p in xs.planes]}")
     tpu = tpu[0]
-    meta = {m.id: m.name for m in tpu.event_metadata.values()}
+    stat_meta = {m.id: m.name for m in tpu.stat_metadata.values()}
+    info = {}
+    for m in tpu.event_metadata.values():
+        stats = {}
+        for st in m.stats:
+            nm = stat_meta.get(st.metadata_id, "?")
+            w = st.WhichOneof("value")
+            v = getattr(st, w) if w else None
+            if w == "ref_value":
+                v = stat_meta.get(st.ref_value, "")
+            stats[nm] = v
+        info[m.id] = (m.name, stats)
+
     ops = defaultdict(float)
+    cats = defaultdict(float)
+    srcs = defaultdict(float)
+    src_flops = defaultdict(float)
     for line in tpu.lines:
         if line.name != "XLA Ops":
             continue
         for ev in line.events:
-            name = meta[ev.metadata_id]
+            name, stats = info[ev.metadata_id]
             if pat and not pat.search(name):
                 continue
-            ops[name] += ev.duration_ps / 1e12
+            d = ev.duration_ps / 1e12
+            ops[name] += d
+            cats[stats.get("hlo_category", "?")] += d
+            src = str(stats.get("source", "") or "(no source)")
+            srcs[src] += d
+            src_flops[src] += float(stats.get("model_flops", 0) or 0)
 
-    def category(n):
-        base = n.split(".")[0].split(" ")[0]
-        return re.sub(r"[_\-]?\d+$", "", base)
-
-    cats = defaultdict(float)
-    for n, d in ops.items():
-        cats[category(n)] += d
     total = sum(ops.values())
     print(f"total XLA op time {total * 1000:.1f} ms ({len(ops)} ops)")
-    print("\n== categories ==")
-    for kname, v in sorted(cats.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{v * 1000:9.2f} ms  {kname}")
+    print("\n== by hlo_category ==")
+    for k, v in sorted(cats.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{v * 1000:9.2f} ms  {k}")
+    print("\n== by source line ==")
+    for k, v in sorted(srcs.items(), key=lambda kv: -kv[1])[:35]:
+        tf = src_flops[k] / (v + 1e-12) / 1e12
+        print(f"{v * 1000:9.2f} ms {tf:7.1f} TF/s  {k[-110:]}")
     print("\n== top ops ==")
-    for n, d in sorted(ops.items(), key=lambda kv: -kv[1])[:40]:
+    for n, d in sorted(ops.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{d * 1000:9.2f} ms  {n[:140]}")
 
 

@@ -128,6 +128,13 @@ def use_fast_sin2() -> bool:
 def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array) -> jax.Array:
     """x: [..., C]; alpha/beta: [C]."""
     if use_fast_sin2():
+        from .kernels.snake import snake_fused, snake_fused_supported
+
+        if snake_fused_supported(x):
+            # single-VMEM-pass Pallas kernel (fwd AND bwd) — XLA splits the
+            # same math into several fusions with materialized f32
+            # intermediates (ops/kernels/snake.py)
+            return snake_fused(x, alpha, beta)
         return _snake_fast(x, alpha, beta)
     s = jnp.sin(x * alpha)
     return x + (1.0 / (beta + 1e-9)) * (s * s)

@@ -172,3 +172,30 @@ def test_snake_beta_fast_custom_vjp_grads(monkeypatch):
     dx, da, db = vjp(out)
     assert out.dtype == jnp.bfloat16 and dx.dtype == jnp.bfloat16
     assert da.dtype == jnp.float32 and db.dtype == jnp.float32
+
+
+def test_snake_fused_pallas_matches_jnp():
+    # Pallas kernel (interpret mode off-TPU) == the jnp fast path, fwd+grads,
+    # incl. a row count that doesn't divide the block size (tail masking)
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from stable_audio_tools_tpu.ops import activations as A
+    from stable_audio_tools_tpu.ops.kernels.snake import snake_fused
+
+    C = 128
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 347, C) * 2, jnp.float32)
+    a = jnp.asarray(np.exp(np.random.RandomState(1).randn(C) * 0.3), jnp.float32)
+    b = jnp.asarray(np.exp(np.random.RandomState(2).randn(C) * 0.3), jnp.float32)
+    ct = jnp.asarray(np.random.RandomState(3).randn(3, 347, C), jnp.float32)
+
+    got = snake_fused(x, a, b)
+    want = A._snake_fast(x, a, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    gf = jax.grad(lambda *s: jnp.sum(snake_fused(*s) * ct), argnums=(0, 1, 2))
+    gr = jax.grad(lambda *s: jnp.sum(A._snake_fast(*s) * ct), argnums=(0, 1, 2))
+    for f, r in zip(gf(x, a, b), gr(x, a, b)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
