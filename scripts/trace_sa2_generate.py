@@ -68,9 +68,30 @@ def main(trace_dir, steps):
     audio = run(1)
     _ = np.asarray(audio[0, 0, 0])
     wall = time.time() - t0
-    print(f"wall per generate ({steps} steps): {wall:.3f}s  "
-          f"-> {SAMPLE_SIZE/44100.0/ (wall * 100.0 / steps):.2f} "
-          "audio-sec/sec at 100 steps equiv")
+    # separate the per-step sampler cost from the fixed decode cost with a
+    # second step count (scaling the whole wall by steps overcounted the
+    # decode 10x and understated throughput)
+    def run_n(seed, n):
+        return generate_diffusion_cond(
+            model, variables, steps=n, cfg_scale=6.0,
+            conditioning=conditioning, batch_size=1,
+            sample_size=SAMPLE_SIZE, seed=seed,
+            sampler_type="dpmpp-3m-sde", sigma_min=0.3, sigma_max=500.0)
+
+    half = max(2, steps // 2)
+    a2 = run_n(3, half)
+    _ = np.asarray(a2[0, 0, 0])
+    t0 = time.time()
+    a2 = run_n(4, half)
+    _ = np.asarray(a2[0, 0, 0])
+    wall_half = time.time() - t0
+    per_step = (wall - wall_half) / (steps - half)
+    fixed = max(wall - per_step * steps, 0.0)
+    w100 = per_step * 100 + fixed
+    print(f"wall per generate ({steps} steps): {wall:.3f}s; "
+          f"sampler {per_step*1e3:.1f} ms/step, fixed (cond+decode) "
+          f"{fixed:.2f}s -> {SAMPLE_SIZE/44100.0/w100:.2f} "
+          "audio-sec/sec at 100 steps")
     with jax.profiler.trace(trace_dir):
         audio = run(2)
         _ = np.asarray(audio[0, 0, 0])

@@ -697,26 +697,47 @@ def sample_k(
         sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
         noise = noise * sigmas[0]
         x = init_data + noise if init_data is not None else noise
+        # Run the scan with the carry in NLC [B, N, C]: with the reference
+        # [B, C, N] carry XLA picks the transpose-free-but-tile-hostile
+        # {1,0,2}/T(1,128) layout (1 of 8 sublanes, C=64 of 128 lanes), so
+        # every elementwise pass of the sampler body runs ~16x below HBM
+        # roofline — 16.6 ms/step of a 364 ms SA-2.0 step. The swaps at
+        # the denoiser boundary cancel against the model's internal
+        # NCT->NLC transposes; every k-* update rule is elementwise, so
+        # this is exact. (Previews keep the reference layout: the tap
+        # streams [B, C, N] to host consumers.)
+        nlc = x.ndim == 3 and denoised_tap is None
+        if nlc:
+            x = jnp.swapaxes(x, 1, 2)
+            base_denoiser = denoiser
+
+            def denoiser(xq, sigma, **kw):
+                out = base_denoiser(jnp.swapaxes(xq, 1, 2), sigma, **kw)
+                return jnp.swapaxes(out, 1, 2)
+
         if sampler_type == "k-heun":
-            return sample_heun(denoiser, x, sigmas, **extra_args)
+            out = sample_heun(denoiser, x, sigmas, **extra_args)
         elif sampler_type == "k-lms":
-            return sample_lms(denoiser, x, sigmas, **extra_args)
+            out = sample_lms(denoiser, x, sigmas, **extra_args)
         elif sampler_type == "k-dpmpp-2s-ancestral":
-            return sample_dpmpp_2s_ancestral(denoiser, x, sigmas, rng=rng, **extra_args)
+            out = sample_dpmpp_2s_ancestral(denoiser, x, sigmas, rng=rng, **extra_args)
         elif sampler_type == "k-dpm-2":
-            return sample_dpm_2(denoiser, x, sigmas, **extra_args)
+            out = sample_dpm_2(denoiser, x, sigmas, **extra_args)
         elif sampler_type == "k-dpm-fast":
-            return sample_dpm_fast(denoiser, x, sigma_min, sigma_max, steps, rng=rng,
-                                   **extra_args)
+            out = sample_dpm_fast(denoiser, x, sigma_min, sigma_max, steps, rng=rng,
+                                  **extra_args)
         elif sampler_type == "k-dpm-adaptive":
-            return sample_dpm_adaptive(denoiser, x, sigma_min, sigma_max, rtol=0.01,
-                                       atol=0.01, rng=rng, **extra_args)
+            out = sample_dpm_adaptive(denoiser, x, sigma_min, sigma_max, rtol=0.01,
+                                      atol=0.01, rng=rng, **extra_args)
         elif sampler_type == "dpmpp-2m":
-            return sample_dpmpp_2m(denoiser, x, sigmas, **extra_args)
+            out = sample_dpmpp_2m(denoiser, x, sigmas, **extra_args)
         elif sampler_type == "dpmpp-2m-sde":
-            return sample_dpmpp_2m_sde(denoiser, x, sigmas, rng=rng, **extra_args)
+            out = sample_dpmpp_2m_sde(denoiser, x, sigmas, rng=rng, **extra_args)
         elif sampler_type == "dpmpp-3m-sde":
-            return sample_dpmpp_3m_sde(denoiser, x, sigmas, rng=rng, **extra_args)
+            out = sample_dpmpp_3m_sde(denoiser, x, sigmas, rng=rng, **extra_args)
+        else:
+            raise ValueError(f"Unknown sampler type {sampler_type}")
+        return jnp.swapaxes(out, 1, 2) if nlc else out
     elif sampler_type in V_SAMPLERS:
         sigma_max = min(sigma_max, 1.0)
         alpha, sigma = t_to_alpha_sigma(jnp.asarray(sigma_max))

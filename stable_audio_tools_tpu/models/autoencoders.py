@@ -466,13 +466,23 @@ class AudioAutoencoder(nn.Module):
         return y
 
     @staticmethod
-    def _run_chunks(fn, chunks, chunk_pspec):
-        """Sequential lax.map by default (bounded memory, single chip);
-        with chunk_pspec, chunks run data-parallel over the mesh: vmap +
-        GSPMD sharding of the chunk axis, so an N-chunk codec pass on an
-        n-device mesh costs ~N/n chunk decodes of wall-clock."""
+    def _run_chunks(fn, chunks, chunk_pspec, batch_size: int = 8):
+        """Chunk-batched lax.map by default; data-parallel over the mesh
+        with chunk_pspec.
+
+        Sequential chunk-at-a-time decode left the MXU starved — 64 batch-1
+        decodes of an SA-2.0 285 s generate measured 2.03 s (convs at
+        ~27 TF/s). lax.map(batch_size=8) vmaps groups of 8 chunks, an
+        ~8x-wider conv batch at bounded memory (the whole point of chunking
+        is not materializing full-length decoder activations; a group's
+        activations are ~8 chunk-lengths, still far under the full length).
+        With chunk_pspec, chunks run data-parallel over the mesh instead:
+        vmap + GSPMD sharding of the chunk axis, so an N-chunk codec pass
+        on an n-device mesh costs ~N/n chunk decodes of wall-clock."""
         if chunk_pspec is None:
-            return jax.lax.map(fn, chunks)
+            n = chunks.shape[0]
+            return jax.lax.map(fn, chunks,
+                               batch_size=min(batch_size, n))
         chunks = jax.lax.with_sharding_constraint(chunks, chunk_pspec)
         out = jax.vmap(fn)(chunks)
         return jax.lax.with_sharding_constraint(out, chunk_pspec)

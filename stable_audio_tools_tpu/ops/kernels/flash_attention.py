@@ -81,6 +81,36 @@ def _k_visible_range(ki, block_q, block_k, n_q_blocks, seq_len, causal,
     return False, lo, None, hi
 
 
+def _pow2(x: float) -> bool:
+    """True when x is an exact power of two (bf16 multiply is then exact)."""
+    m, _ = math.frexp(x)
+    return x > 0 and m == 0.5
+
+
+def _run_kblocks(body, lo, hi, carry):
+    """fori_loop over k-blocks [lo, hi), partially unrolled when the bounds
+    are static. Unrolling lets Mosaic software-pipeline the MXU matmuls
+    against the VPU softmax across k-blocks — measured ~-15..20% on the
+    long-N forward (8.81 -> 7.25 ms at [2,24,6144,64] with the NHD pair
+    kernel). FULL unroll keeps every iteration's f32 logits live and blows
+    the 16 MiB scoped-VMEM stack, so group by the largest divisor <= 4."""
+    unroll = 0
+    if isinstance(lo, int) and isinstance(hi, int):
+        for u in (4, 3, 2):
+            if (hi - lo) % u == 0 and hi - lo > u:
+                unroll = u
+                break
+    if not unroll:
+        return jax.lax.fori_loop(lo, hi, body, carry)
+
+    def group_body(g, c):
+        for j in range(unroll):
+            c = body(lo + g * unroll + j, c)
+        return c
+
+    return jax.lax.fori_loop(0, (hi - lo) // unroll, group_body, carry)
+
+
 def _pos_mask(q_start, k_start, block_q, block_k, seq_len, causal,
               w_left, w_right):
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -99,6 +129,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
                   seq_len, causal, w_left, w_right, scale, no_mask=False):
     qi = pl.program_id(1)
     q = q_ref[0]  # [block_q, D] — keep input dtype (bf16 operands on the MXU)
+    # power-of-two scales (dh=64 -> 1/8) fold into q EXACTLY in bf16 (pure
+    # exponent shift), saving the per-logit scale multiply — ~10% of the
+    # VPU softmax cost that bounds long-N forward time
+    if _pow2(scale):
+        q = (q * q.dtype.type(scale)).astype(q.dtype)
+        scale = 1.0
     D = q.shape[-1]
     q_start = qi * block_q
 
@@ -107,7 +143,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         # bf16 operands, f32 accumulation on the MXU
-        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            logits = logits * scale
         if not no_mask:
             mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
                              causal, w_left, w_right)
@@ -134,7 +172,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
             0, n_vis, lambda i, c: body(lo + i, c), (acc0, m0, l0)
         )
     else:
-        acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
+        acc, m, l = _run_kblocks(body, lo, hi, (acc0, m0, l0))
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)  # [block_q, 1]
@@ -150,6 +188,10 @@ def _flash_prefix_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref, o_ref, lse_ref,
     shape). kp/vp are [1, P_pad, D] with valid rows < prefix_len."""
     qi = pl.program_id(1)
     q = q_ref[0]  # [block_q, D]
+    # fold power-of-two scales into q exactly (see _flash_kernel)
+    if _pow2(scale):
+        q = (q * q.dtype.type(scale)).astype(q.dtype)
+        scale = 1.0
     D = q.shape[-1]
     q_start = qi * block_q
 
@@ -157,7 +199,9 @@ def _flash_prefix_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref, o_ref, lse_ref,
         acc, m_prev, l_prev = carry
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            logits = logits * scale
         if not no_mask:
             mask = _pos_mask(q_start, kb * block_k, block_q, block_k, seq_len,
                              False, -1, -1)
@@ -175,9 +219,7 @@ def _flash_prefix_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref, o_ref, lse_ref,
     acc0 = jnp.zeros((block_q, D), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(
-        0, pl.cdiv(seq_len, block_k), body, (acc0, m0, l0)
-    )
+    acc, m, l = _run_kblocks(body, 0, pl.cdiv(seq_len, block_k), (acc0, m0, l0))
 
     # prefix block: [block_q, P_pad] logits, pad columns masked out
     kp = kp_ref[0]  # [P_pad, D]
@@ -724,6 +766,10 @@ def _flash_nhd_pair_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref,
     matmul they feed), so K/V VMEM residency matches the standard kernel."""
     qi = pl.program_id(1)
     q2 = q_ref[0]  # [block_q, 128]
+    # fold power-of-two scales into q exactly (see _flash_kernel)
+    if _pow2(scale):
+        q2 = (q2 * q2.dtype.type(scale)).astype(q2.dtype)
+        scale = 1.0
     q_start = qi * block_q
 
     def merge_half(logits_h, k_start_h, m_prev, l_prev):
@@ -754,7 +800,9 @@ def _flash_nhd_pair_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref,
         kd_blk = blockdiag(k_blk, lane_a_k)
         # ONE full-depth matmul for both heads' logits
         logits = jnp.dot(q2, kd_blk.T,
-                         preferred_element_type=jnp.float32) * scale
+                         preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            logits = logits * scale
         p_a, alpha_a, m_a, l_a = merge_half(
             logits[:, :block_k], kb * block_k, m_a, l_a)
         p_b, alpha_b, m_b, l_b = merge_half(
@@ -774,9 +822,8 @@ def _flash_nhd_pair_kernel(q_ref, k_ref, v_ref, kp_ref, vp_ref,
     banded, lo, n_vis, hi = _q_visible_range(
         qi, block_q, block_k, seq_len, causal, -1, -1
     )
-    acc, m_a, l_a, m_b, l_b = jax.lax.fori_loop(
-        lo, hi, body, (acc0, m0, l0, m0, l0)
-    )
+    acc, m_a, l_a, m_b, l_b = _run_kblocks(
+        body, lo, hi, (acc0, m0, l0, m0, l0))
 
     if prefix_len > 0:
         # prefix block: [block_q, 2*P_pad] logits, pad columns masked
@@ -835,7 +882,13 @@ def _nhd_forward(q, k, v, causal, prefix_len, block_q=512, block_k=512):
     Nm = N - P
     # NOTE: no 1024-block bump here — the pair kernel's logits tile is
     # [block_q, 2*block_k] f32 (8 MiB at 1024/1024), which blows the 16 MiB
-    # scoped-VMEM limit once the resident K/V and accumulators are added
+    # scoped-VMEM limit once the resident K/V and accumulators are added.
+    # Measured sweep on v5e ([2,24,N,64], prefix 1): narrow-q/wide-k wins —
+    # (256,512) at short N (0.89 vs 0.95 ms at 1k), (256,1024) at long N
+    # (7.25 vs 8.81 ms at 6k; wider k-blocks amortize the per-block online-
+    # softmax merges the long-N forward is bound by)
+    if block_q == 512 and block_k == 512 and not causal:
+        block_q, block_k = (256, 1024) if Nm >= 4096 else (256, 512)
     block_q, block_k, N_pad = _pick_blocks(Nm, causal, -1, -1,
                                            block_q, block_k)
     # all operands stay in the natural activation layout (reshape + pad)
@@ -1040,7 +1093,7 @@ def _flash_fused_kernel(qkv_q_ref, qkv_kv_ref, cos_ref, sin_ref,
             0, n_vis, lambda i, c: body(lo + i, c), (acc0, m0, l0)
         )
     else:
-        acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
+        acc, m, l = _run_kblocks(body, lo, hi, (acc0, m0, l0))
     l = jnp.maximum(l, 1e-30)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0, 0] = m + jnp.log(l)
