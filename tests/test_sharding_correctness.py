@@ -236,7 +236,14 @@ def test_tp_mesh_training_matches_single_device(setup):
 def test_ae_gan_dp_mesh_matches_single_device():
     """One gen+disc pair of the GAN trainer under a data=8 mesh (params
     replicated, BOTH optimizer states ZeRO-sharded — mirrors
-    Trainer._place_state) matches the single-device step exactly."""
+    Trainer._place_state) matches the single-device step.
+
+    Parameter tolerance is self-calibrating: at step 0 Adam's update is
+    lr*g/(|g|+eps), so reduction-order noise on a near-zero gradient flips
+    a full +-lr regardless of how the batch is reduced.  We measure the
+    single-device step's OWN sensitivity to a batch permutation
+    (mathematically identical losses, different reduction order) and require
+    the mesh deviation to be no larger."""
     from tests.test_ae_training import AE_TRAIN_CONFIG
 
     model = create_model_from_config(AE_TRAIN_CONFIG)
@@ -256,6 +263,19 @@ def test_ae_gan_dp_mesh_matches_single_device():
     s1 = jax.tree_util.tree_map(jnp.asarray, host_state)
     s1, gen1, disc1 = run_pair(s1, audio)
     trainer._jit_cache.clear()
+
+    # single device, permuted batch: calibrates the Adam-amplified
+    # reduction-order noise floor (measured ~2e-3 = 2*lr sign flips on
+    # near-zero-gradient params; mesh drift must not exceed it)
+    perm = np.random.RandomState(7).permutation(audio.shape[0])
+    sp = jax.tree_util.tree_map(jnp.asarray, host_state)
+    sp, _, _ = run_pair(sp, audio[perm])
+    trainer._jit_cache.clear()
+    noise_floor = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(s1.gen_params),
+                        jax.tree_util.tree_leaves(sp.gen_params))
+    )
 
     # 8-device DP mesh
     mesh = create_mesh(data=8, model=1)
@@ -283,12 +303,15 @@ def test_ae_gan_dp_mesh_matches_single_device():
         np.testing.assert_allclose(
             float(disc1[k]), float(disc8[k]), rtol=2e-4, atol=2e-5,
             err_msg=f"disc log {k}")
-    # params agree after the pair
+    # params agree after the pair, up to the measured single-device
+    # reduction-order noise floor (see docstring); tight floor of 5e-5
+    # still catches genuine DP-path divergence (wrong psum scale = O(1))
+    atol = max(noise_floor, 5e-5)
     l1 = jax.tree_util.tree_leaves(s1.gen_params)
     l8 = jax.tree_util.tree_leaves(s8.gen_params)
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
-                                   rtol=5e-4, atol=5e-5)
+                                   rtol=0, atol=atol)
 
 
 def test_gqa_kv_spec_replicates_uneven_heads():
