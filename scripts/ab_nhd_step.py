@@ -1,0 +1,77 @@
+"""A/B the head-pair NHD attention dispatch at the SA-Open bench config.
+
+Measures the SAMPLER PER-STEP time (two-point method: steps=N1 vs N2 walls,
+slope = per-step) for NHD enabled vs disabled in ONE process on one chip —
+eliminating run-to-run chip variance that whole-bench A/Bs suffer (±10%).
+Hard host-transfer sync. Usage: python scripts/ab_nhd_step.py
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+argv = sys.argv[1:]
+sys.argv = [sys.argv[0]]
+
+import bench  # noqa: E402  (reuses the shipped bench model builder)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+N1, N2 = 40, 100
+
+
+def main():
+    from stable_audio_tools_tpu.inference.generation import generate_diffusion_cond
+    from stable_audio_tools_tpu.models.factory import create_model_from_config
+
+    np.asarray(jax.block_until_ready(jnp.zeros(())))
+    model = create_model_from_config(bench.CONFIG)
+    mc = model._multi_conditioner
+    conditioning = [{"prompt": "An upbeat electronic track", "seconds_start": 0,
+                     "seconds_total": bench.SAMPLE_SIZE / 44100.0}]
+    prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(conditioning))
+    x = jnp.zeros((1, bench.DIT["io_channels"],
+                   bench.SAMPLE_SIZE // bench.DOWN), jnp.float32)
+    t = jnp.ones((1,))
+    variables = jax.jit(lambda x, t: model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, t, cond=prepared, method=model.init_full))(x, t)
+    jax.block_until_ready(variables)
+
+    def run(steps, seed):
+        a = generate_diffusion_cond(
+            model, variables, steps=steps, cfg_scale=6.0,
+            conditioning=conditioning, batch_size=1,
+            sample_size=bench.SAMPLE_SIZE, seed=seed,
+            sampler_type="dpmpp-3m-sde", sigma_min=0.3, sigma_max=500.0)
+        np.asarray(a[0, 0, 0])  # hard sync
+
+    def per_step(tag):
+        walls = {}
+        for steps in (N1, N2):
+            run(steps, 0)          # compile (fresh trace reads the env gate)
+            ws = []
+            for r in (1, 2, 3):
+                t0 = time.time(); run(steps, r); ws.append(time.time() - t0)
+            walls[steps] = min(ws)
+        ps = (walls[N2] - walls[N1]) / (N2 - N1)
+        print(f"{tag}: wall{N1}={walls[N1]:.3f}s wall{N2}={walls[N2]:.3f}s "
+              f"-> {ps*1e3:.2f} ms/step", flush=True)
+        return ps
+
+    os.environ.pop("SAT_DISABLE_NHD", None)
+    ps_on = per_step("NHD enabled ")
+    os.environ["SAT_DISABLE_NHD"] = "1"
+    # bust the generation program cache so the gate is re-read at trace time
+    if hasattr(model, "_gen_jit_cache"):
+        model._gen_jit_cache.clear()
+    ps_off = per_step("NHD disabled")
+    print(f"delta: {1e3*(ps_off - ps_on):+.2f} ms/step "
+          f"({'NHD faster' if ps_on < ps_off else 'NHD slower'})")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ window_size) and causal are the same code path.
 from __future__ import annotations
 
 import math
+import os
 from typing import Literal, Optional, Tuple
 
 import jax
@@ -219,19 +220,64 @@ def attention_core(
         use_pallas = _should_use_pallas(q, k, mask)
     if use_pallas:
         try:
+            from ..parallel.mesh import in_mesh_program
             from .kernels.flash_attention import (
                 flash_attention, flash_attention_prefix,
                 prefix_split_profitable,
             )
 
+            wrap = None
+            if in_mesh_program():
+                wrap, _ = _mesh_attn_shardmap(q.shape[0], q.shape[1], "bhnd")
+                if wrap is None:  # mesh can't split this shape; XLA shards fine
+                    raise NotImplementedError
             if (prefix_len and not causal and window is None and mask is None
                     and q.shape == k.shape
                     and prefix_split_profitable(q.shape[-2], prefix_len)):
-                return flash_attention_prefix(q, k, v, prefix_len)
-            return flash_attention(q, k, v, causal=causal, window=window)
+                fn = lambda q, k, v: flash_attention_prefix(q, k, v, prefix_len)
+            else:
+                fn = lambda q, k, v: flash_attention(
+                    q, k, v, causal=causal, window=window)
+            return wrap(fn, q, k, v) if wrap is not None else fn(q, k, v)
         except Exception:
             pass
     return dot_product_attention(q, k, v, causal=causal, window=window, mask=mask)
+
+
+def _mesh_attn_shardmap(batch: int, heads: int, layout: str):
+    """shard_map wrapper for running a head-parallel pallas attention kernel
+    inside a GSPMD mesh program.
+
+    GSPMD cannot partition a pallas custom-call (it would replicate sharded
+    operands), but attention is exactly parallel over (batch, head), so a
+    shard_map region with batch on 'data' and heads on 'model' runs the
+    kernel per-shard with zero collectives — and under Megatron TP the
+    q/k/v projections are already column(=head)-sharded, so no resharding
+    is inserted either.
+
+    Returns (wrap, local_heads) where wrap(fn, *arrays) runs fn under
+    shard_map, or (None, heads) if the active mesh cannot split this shape
+    exactly (caller falls back to XLA SDPA).
+    layout: 'bhnd' for [B,H,N,D] kernels, 'bnhd' for the NHD entry."""
+    from ..parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    if mesh is None:
+        return None, heads
+    dp = mesh.shape.get("data", 1)
+    tp = mesh.shape.get("model", 1)
+    if batch % dp != 0 or heads % tp != 0:
+        return None, heads
+    from jax.sharding import PartitionSpec as P
+
+    spec = (P("data", "model", None, None) if layout == "bhnd"
+            else P("data", None, "model", None))
+
+    def wrap(fn, *arrays):
+        return jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                             check_vma=False)(*arrays)
+
+    return wrap, heads // tp
 
 
 def _should_use_nhd(n, h, kv_h, dim_heads, causal, prefix_len, mask,
@@ -242,33 +288,35 @@ def _should_use_nhd(n, h, kv_h, dim_heads, causal, prefix_len, mask,
     head count), self-attention without GQA/window/mask, a prefix only on
     the non-causal path (the kernel's prefix fold is non-causal), sequences
     long enough to beat the XLA path, and bounded K/V VMEM residency (the
-    kernel keeps the pair's full K/V rows resident: N*512 B)."""
+    kernel keeps the pair's full K/V rows resident: N*512 B). Mesh programs
+    dispatch via shard_map (heads on 'model', batch on 'data') when the
+    local head count stays even — see _mesh_attn_shardmap."""
+    if os.environ.get("SAT_DISABLE_NHD"):  # A/B escape hatch
+        return False
     if mask is not None or window is not None:
         return False
-    if dim_heads * 2 != 128 or h % 2 != 0 or kv_h != h:
+    if dim_heads * 2 != 128 or h % 2 != 0:
         return False
+    if kv_h != h and (kv_h <= 0 or h % kv_h != 0):
+        return False  # GQA handled by an in-layout K/V repeat; needs h%kv_h==0
     if prefix_len and (causal or prefix_len > 128):
         return False
-    if jax.default_backend() != "tpu":
-        return False
-    from ..parallel.mesh import in_mesh_program
-
-    if in_mesh_program():
+    if (jax.default_backend() != "tpu"
+            and not os.environ.get("SAT_FORCE_PALLAS_ATTN")):
+        # SAT_FORCE_PALLAS_ATTN: tests exercise the kernels (interpret
+        # mode) and the mesh shard_map dispatch on the CPU backend
         return False
     main = n - prefix_len
     return 512 <= main <= 16384
 
 
 def _should_use_pallas(q, k, mask) -> bool:
+    if os.environ.get("SAT_DISABLE_PALLAS_ATTN"):  # A/B escape hatch
+        return False
     if mask is not None:
         return False
-    if jax.default_backend() != "tpu":
-        return False
-    from ..parallel.mesh import in_mesh_program
-
-    if in_mesh_program():
-        # GSPMD can't partition pallas custom-calls; the XLA path shards
-        # cleanly over the head axis in TP programs
+    if (jax.default_backend() != "tpu"
+            and not os.environ.get("SAT_FORCE_PALLAS_ATTN")):
         return False
     # Flash pays off for long self-attention; small/cross attention is fine in XLA.
     return q.shape[-2] >= 512 and q.shape[-2] == k.shape[-2] and q.shape[-1] in (64, 128)
@@ -452,16 +500,29 @@ class Attention(nn.Module):
         # [B,N,H*dh]->[B,H,N,dh] HBM transposes in or out (2.2 ms/step at
         # SA-Open scale; see ops/kernels/flash_attention.py).
         is_causal = self.causal if causal is None else causal
-        if (not has_context and not self.differential and cache is None
-                and q.ndim == 3
-                and _should_use_nhd(q.shape[1], h, kv_h, self.dim_heads,
-                                    is_causal, self.prefix_len, mask,
-                                    sliding_window)):
+        use_nhd = (not has_context and not self.differential and cache is None
+                   and q.ndim == 3
+                   and _should_use_nhd(q.shape[1], h, kv_h, self.dim_heads,
+                                       is_causal, self.prefix_len, mask,
+                                       sliding_window))
+        nhd_wrap = None
+        if use_nhd:
+            from ..parallel.mesh import in_mesh_program
+
+            if in_mesh_program():
+                # TP mesh: shard_map heads onto 'model' (the fused projection
+                # is already column=head sharded, so no resharding); the
+                # head-PAIR kernel needs the LOCAL head count even
+                nhd_wrap, local_h = _mesh_attn_shardmap(q.shape[0], h, "bnhd")
+                if nhd_wrap is None or local_h % 2 != 0:
+                    use_nhd = False
+        if use_nhd:
             from .kernels.flash_attention import flash_attention_nhd
 
             b, n = q.shape[:2]
-            to_nhd = lambda t: t.reshape(b, n, h, self.dim_heads)
-            qn, kn, vn = to_nhd(q), to_nhd(k), to_nhd(v)
+            qn = q.reshape(b, n, h, self.dim_heads)
+            kn = k.reshape(b, n, kv_h, self.dim_heads)
+            vn = v.reshape(b, n, kv_h, self.dim_heads)
             # qk-norm acts on the last (dh) axis: identical params and math
             # in either layout
             if self.qk_norm == "l2":
@@ -480,10 +541,17 @@ class Attention(nn.Module):
             if rotary_pos_emb is not None:
                 qn = apply_rotary_pos_emb_nhd(qn, rotary_pos_emb)
                 kn = apply_rotary_pos_emb_nhd(kn, rotary_pos_emb)
-            out = flash_attention_nhd(
-                qn, kn, vn, is_causal,
-                0 if is_causal else self.prefix_len,
-            )
+            if kv_h != h:
+                # GQA: repeat K/V to the query head count in the NHD layout
+                # (axis 2 repeat ⇒ q head j reads kv head j//rep — same
+                # grouping as the split-head path's axis-1 repeat)
+                rep = h // kv_h
+                kn = jnp.repeat(kn, rep, axis=2)
+                vn = jnp.repeat(vn, rep, axis=2)
+            pl = 0 if is_causal else self.prefix_len
+            fn = lambda a, c, d: flash_attention_nhd(a, c, d, is_causal, pl)
+            out = nhd_wrap(fn, qn, kn, vn) if nhd_wrap is not None \
+                else fn(qn, kn, vn)
             out = out.reshape(b, n, dim)
             out = QuantizableDense(
                 dim, use_bias=False, name="to_out",

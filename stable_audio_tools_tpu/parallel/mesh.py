@@ -39,19 +39,32 @@ def mesh_program_context(mesh: tp.Optional[Mesh] = None,
     prev = getattr(_MESH_CTX, "active", False)
     prev_axes = getattr(_MESH_CTX, "axes", {})
     prev_sp = getattr(_MESH_CTX, "sp", False)
+    prev_mesh = getattr(_MESH_CTX, "mesh", None)
     _MESH_CTX.active = True
     _MESH_CTX.axes = dict(mesh.shape) if mesh is not None else {}
     _MESH_CTX.sp = bool(sequence_parallel)
+    _MESH_CTX.mesh = mesh
     try:
         yield
     finally:
         _MESH_CTX.active = prev
         _MESH_CTX.axes = prev_axes
         _MESH_CTX.sp = prev_sp
+        _MESH_CTX.mesh = prev_mesh
 
 
 def in_mesh_program() -> bool:
     return getattr(_MESH_CTX, "active", False)
+
+
+def current_mesh() -> tp.Optional[Mesh]:
+    """The Mesh of the active mesh program (None if entered without one).
+
+    Pallas attention kernels use this to shard_map themselves over the
+    (data, model) axes instead of falling back to XLA SDPA — GSPMD cannot
+    partition a pallas custom-call, but a shard_map region runs the kernel
+    per-shard on the head/batch split, which is exact for attention."""
+    return getattr(_MESH_CTX, "mesh", None)
 
 
 def seq_shard_constraint(x):

@@ -311,3 +311,69 @@ def test_attention_nhd_dispatch_matches_standard(qk_norm, use_rope, prefix,
     out = m.apply(params, x, rotary_pos_emb=rot)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-3, atol=1e-4)
+
+
+# -- mesh shard_map dispatch (round 4) ---------------------------------------
+
+
+def test_attention_core_shard_mapped_flash_matches_xla(monkeypatch):
+    """Inside a mesh program, attention_core shard_maps the flash kernel
+    (batch on 'data', heads on 'model') instead of falling back to XLA —
+    forward and grads must match the XLA reference."""
+    import stable_audio_tools_tpu.ops.attention as attn_mod
+    from stable_audio_tools_tpu.parallel.mesh import (
+        create_mesh, mesh_program_context)
+
+    monkeypatch.setenv("SAT_FORCE_PALLAS_ATTN", "1")
+    rng = np.random.RandomState(0)
+    B, H, N, D = 8, 4, 512, 64
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32)) * 0.3
+
+    ref = dot_product_attention(q, k, v)
+
+    def loss(q, k, v):
+        return jnp.sum(attn_mod.attention_core(q, k, v) ** 2)
+
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(
+        dot_product_attention(q, k, v) ** 2), argnums=(0, 1, 2))(q, k, v)
+
+    mesh = create_mesh(data=4, model=2)
+    with mesh_program_context(mesh):
+        out = jax.jit(attn_mod.attention_core)(q, k, v)
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_attention_nhd_dispatches_under_mesh(monkeypatch):
+    """The NHD head-pair branch must fire inside a mesh program via
+    shard_map when the local head count stays even, and match the non-mesh
+    output; with an odd local head split it must fall back cleanly."""
+    import stable_audio_tools_tpu.ops.attention as attn_mod
+    from stable_audio_tools_tpu.parallel.mesh import (
+        create_mesh, mesh_program_context)
+
+    monkeypatch.setenv("SAT_FORCE_PALLAS_ATTN", "1")
+    rng = np.random.RandomState(3)
+    B, N, dim, dh = 8, 512, 256, 64  # h=4
+    m = attn_mod.Attention(dim=dim, dim_heads=dh, prefix_len=0)
+    x = jnp.asarray(rng.randn(B, N, dim).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(params, x)  # non-mesh: NHD fires (gate passes at N=512)
+
+    mesh = create_mesh(data=4, model=2)  # local heads 4/2=2: even -> NHD
+    with mesh_program_context(mesh):
+        out = jax.jit(lambda p, x: m.apply(p, x))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    mesh_odd = create_mesh(data=2, model=4)  # local heads 1: falls back
+    with mesh_program_context(mesh_odd):
+        out2 = jax.jit(lambda p, x: m.apply(p, x))(params, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

@@ -331,3 +331,92 @@ def test_gqa_kv_spec_replicates_uneven_heads():
     assert spec((768, 1536), mesh4) == P(None, "model")  # 12 % 4 == 0
     # degenerate narrow kernel (< one head pair): replicate
     assert spec((32, 64), mesh8) == P()
+
+
+def test_lm_dp_mesh_matches_single_device():
+    """LM CE train step on a data=8 mesh (params replicated, ZeRO opt state)
+    matches the single-device step (reference trains the LM under the same
+    DDP strategy as every wrapper, train.py:124-138)."""
+    from tests.test_lm import TINY_LM_CONFIG
+
+    model = create_model_from_config(TINY_LM_CONFIG)
+    trainer = create_training_wrapper_from_config(TINY_LM_CONFIG, model)
+    mc = model._multi_conditioner
+    prepared = jax.tree_util.tree_map(
+        jnp.asarray, mc.gather_inputs([{"seconds_total": 4.0}] * 8))
+    codes = jnp.zeros((1, 1, 16), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        codes, cond=jax.tree_util.tree_map(lambda x: x[:1], prepared))
+    pt_vars = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 1, 256)), method=model.pretransform_tokenize)
+    variables = {"params": {**pt_vars["params"], **variables["params"]}}
+    batch = {
+        "audio": jnp.asarray(
+            np.random.RandomState(2).randn(8, 1, 256).astype(np.float32) * 0.1),
+        "prepared_cond": prepared,
+    }
+
+    host_state = jax.device_get(trainer.init_state(variables))
+    step = jax.jit(trainer.make_train_step())
+
+    s1 = jax.tree_util.tree_map(jnp.asarray, host_state)
+    s1, aux1 = step(s1, batch, jax.random.PRNGKey(0))
+
+    from stable_audio_tools_tpu.parallel.mesh import mesh_program_context
+
+    mesh = create_mesh(data=8, model=1)
+    s8 = jax.tree_util.tree_map(jnp.asarray, host_state)
+    s8 = s8.replace(
+        params=replicate_tree(s8.params, mesh),
+        opt_state=jax.device_put(
+            s8.opt_state, zero_shard_opt_state(s8.opt_state, mesh)),
+        ema_params=(replicate_tree(s8.ema_params, mesh)
+                    if s8.ema_params is not None else None),
+    )
+    sbatch = shard_batch(batch, mesh)
+    with mesh_program_context(mesh):
+        s8, aux8 = step(s8, sbatch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(aux8["loss"]), float(aux1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(jax.device_get(b)),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_lm_tp_decode_matches_single_device():
+    """KV-cached greedy decode with DIT_TP_RULES-sharded backbone params on
+    a model=2 mesh must emit the same tokens as the replicated decode."""
+    from tests.test_lm import TINY_LM_CONFIG
+
+    from stable_audio_tools_tpu.models.lm import lm_generate_cached
+    from stable_audio_tools_tpu.parallel.mesh import (
+        DIT_TP_RULES, mesh_program_context, tp_param_sharding)
+
+    model = create_model_from_config(TINY_LM_CONFIG)
+    mc = model._multi_conditioner
+    prepared = jax.tree_util.tree_map(
+        jnp.asarray, mc.gather_inputs([{"seconds_total": 4.0}]))
+    codes = jnp.zeros((1, 1, 16), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        codes, cond=prepared)
+    cond_tensors = model.apply(variables, prepared,
+                               method=model.run_conditioner)
+    kwargs = dict(conditioning_tensors=cond_tensors, max_gen_len=12,
+                  top_k=0, temp=1e-6, rng=jax.random.PRNGKey(0))
+    ref = lm_generate_cached(model, variables, **kwargs)
+
+    mesh = create_mesh(data=4, model=2)
+    tp_vars = jax.device_put(
+        variables, tp_param_sharding(variables, mesh, DIT_TP_RULES))
+    # bust the decode-prepared cache: it is keyed per params pytree id
+    if hasattr(model, "_lm_jit_cache"):
+        model._lm_jit_cache.clear()
+    with mesh_program_context(mesh):
+        out = lm_generate_cached(model, tp_vars, **kwargs)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
