@@ -325,6 +325,59 @@ SAMPLERS_BY_OBJECTIVE = {
 }
 
 
+# Page-load script for the cond-diffusion tab's playback controls
+# (reference interfaces/diffusion_cond.py:457-519): "Infinite Radio"
+# re-triggers Generate shortly before the output finishes so playback never
+# stops; Autoplay starts each result; Auto Download saves it; media-session
+# keys (>>, play/pause) map onto the same controls.
+_PLAYBACK_JS = """
+function on_page_load() {
+  const byId = (id) => document.querySelector(`#${id} input[type="checkbox"]`);
+  const genBtn = () => Array.from(document.querySelectorAll("button"))
+      .find((b) => b.innerText.trim() === "Generate");
+  const outAudio = () => document.querySelector("#output-audio audio");
+
+  let chainNext = false;   // radio requested the current generation
+  let armed = null;        // audio element we've already wired
+
+  function saveFile(el) {
+    const a = document.createElement("a");
+    a.href = el.src;
+    a.download = el.src.split("/").pop() || "output.wav";
+    a.click();
+  }
+
+  function arm() {
+    const el = outAudio();
+    if (!el || el === armed) return;
+    armed = el;
+    el.addEventListener("loadedmetadata", () => {
+      if (byId("automatic-download")?.checked) saveFile(el);
+      if (byId("autoplay")?.checked || chainNext) { el.play(); chainNext = false; }
+    });
+    el.addEventListener("timeupdate", () => {
+      if (!byId("infinite-radio")?.checked || chainNext) return;
+      if (el.duration && el.duration - el.currentTime <= 1.0) {
+        chainNext = true;
+        genBtn()?.click();
+      }
+    });
+  }
+
+  // the audio element is created lazily by gradio: watch for it
+  new MutationObserver(arm).observe(document.body,
+      { childList: true, subtree: true });
+  arm();
+
+  if ("mediaSession" in navigator) {
+    navigator.mediaSession.setActionHandler("nexttrack", () => genBtn()?.click());
+    navigator.mediaSession.setActionHandler("play", () => outAudio()?.play());
+    navigator.mediaSession.setActionHandler("pause", () => outAudio()?.pause());
+  }
+}
+"""
+
+
 def create_ui(model_config_path=None, ckpt_path=None, pretrained_name=None,
               model_half=False, gradio_title=""):
     """Build the gradio app (reference gradio.py:356-378)."""
@@ -345,8 +398,10 @@ def create_ui(model_config_path=None, ckpt_path=None, pretrained_name=None,
     sample_rate = model_config["sample_rate"]
     sample_size = model_config["sample_size"]
 
-    with gr.Blocks(title=gradio_title or "stable-audio-tools-tpu") as ui:
-        if model_type in ("diffusion_cond", "diffusion_cond_inpaint"):
+    is_cond = model_type in ("diffusion_cond", "diffusion_cond_inpaint")
+    with gr.Blocks(title=gradio_title or "stable-audio-tools-tpu",
+                   js=_PLAYBACK_JS if is_cond else None) as ui:
+        if is_cond:
             objective = getattr(model, "diffusion_objective", "v")
             samplers, default_sampler, default_steps, default_cfg = (
                 SAMPLERS_BY_OBJECTIVE.get(objective, SAMPLERS_BY_OBJECTIVE["v"])
@@ -405,6 +460,14 @@ def create_ui(model_config_path=None, ckpt_path=None, pretrained_name=None,
                                                   label="Spec preview every")
                         cut_to_total = gr.Checkbox(label="Cut to seconds total",
                                                    value=True)
+                    with gr.Row():
+                        # playback controls consumed by _PLAYBACK_JS
+                        gr.Checkbox(label="Autoplay", value=False,
+                                    elem_id="autoplay")
+                        gr.Checkbox(label="Infinite Radio", value=False,
+                                    elem_id="infinite-radio")
+                        gr.Checkbox(label="Auto Download", value=False,
+                                    elem_id="automatic-download")
                 with gr.Accordion("Init audio", open=False):
                     init_audio = gr.Audio(label="Init audio")
                     init_noise = gr.Slider(
@@ -419,7 +482,7 @@ def create_ui(model_config_path=None, ckpt_path=None, pretrained_name=None,
                                          sample_size // sample_rate,
                                          step=0.1, label="Mask end (sec)")
                 out_audio = gr.Audio(label="Output audio", interactive=False,
-                                     type="filepath")
+                                     type="filepath", elem_id="output-audio")
                 out_spec = gr.Gallery(label="Output spectrogram", show_label=False)
                 send_to_init = gr.Button("Send to init audio")
                 send_to_init.click(lambda a: a, inputs=[out_audio],
