@@ -186,11 +186,22 @@ def main():
     value = audio_seconds / wall
     target_per_chip = 23.775 / 8  # north-star: 47.55s in <2s on v5e-8
     _done.set()
+    # weight provenance: "fixture"/"hub" = real T5 weights; "random-init" =
+    # architecture-exact random tower (identical compute; populate
+    # fixtures/t5 via scripts/fetch_t5_fixture.py where network exists)
+    t5_src = "none"
+    mc = getattr(model, "_multi_conditioner", None)
+    if mc is not None:
+        for c in getattr(mc, "conditioners", {}).values():
+            src = getattr(c, "loaded_from", None)
+            if src:
+                t5_src = src
     print(json.dumps({
         "metric": "audio_sec_generated_per_sec_per_chip",
         "value": round(value, 4),
         "unit": f"audio-sec/sec (SA-Open-scale DiT, {STEPS} steps dpmpp-3m-sde + VAE decode, {audio_seconds:.1f}s stereo 44.1kHz)",
         "vs_baseline": round(value / target_per_chip, 4),
+        "t5_weights": t5_src,
     }))
 
 

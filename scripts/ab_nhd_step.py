@@ -3,7 +3,10 @@
 Measures the SAMPLER PER-STEP time (two-point method: steps=N1 vs N2 walls,
 slope = per-step) for NHD enabled vs disabled in ONE process on one chip —
 eliminating run-to-run chip variance that whole-bench A/Bs suffer (±10%).
-Hard host-transfer sync. Usage: python scripts/ab_nhd_step.py
+Hard host-transfer sync.
+Usage: python scripts/ab_nhd_step.py [sample_size]
+  (default bench.SAMPLE_SIZE=2097152/seq1024; pass 12582912 for the SA-2.0
+  seq-6144 regime)
 """
 import os
 import sys
@@ -21,6 +24,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 N1, N2 = 40, 100
+SAMPLE_SIZE = int(argv[0]) if argv else None
 
 
 def main():
@@ -28,24 +32,38 @@ def main():
     from stable_audio_tools_tpu.models.factory import create_model_from_config
 
     np.asarray(jax.block_until_ready(jnp.zeros(())))
-    model = create_model_from_config(bench.CONFIG)
+    ss = SAMPLE_SIZE or bench.SAMPLE_SIZE
+    cfg = bench.CONFIG
+    if ss > bench.SAMPLE_SIZE:
+        # long-context regimes can't decode in one conv program (HBM);
+        # use the chunked overlap-paste codec like trace_sa2_generate
+        import copy
+
+        cfg = copy.deepcopy(bench.CONFIG)
+        cfg["model"]["pretransform"]["chunked"] = True
+    model = create_model_from_config(cfg)
     mc = model._multi_conditioner
     conditioning = [{"prompt": "An upbeat electronic track", "seconds_start": 0,
-                     "seconds_total": bench.SAMPLE_SIZE / 44100.0}]
+                     "seconds_total": ss / 44100.0}]
     prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(conditioning))
+    # init at a short length through the NON-chunked twin (param shapes are
+    # length-independent; init can't trace inside the chunk scan, and a
+    # full-length init_full decode would OOM at long ss)
+    init_model = (model if cfg is bench.CONFIG
+                  else create_model_from_config(bench.CONFIG))
     x = jnp.zeros((1, bench.DIT["io_channels"],
-                   bench.SAMPLE_SIZE // bench.DOWN), jnp.float32)
+                   min(ss // bench.DOWN, 1024)), jnp.float32)
     t = jnp.ones((1,))
-    variables = jax.jit(lambda x, t: model.init(
+    variables = jax.jit(lambda x, t: init_model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        x, t, cond=prepared, method=model.init_full))(x, t)
+        x, t, cond=prepared, method=init_model.init_full))(x, t)
     jax.block_until_ready(variables)
 
     def run(steps, seed):
         a = generate_diffusion_cond(
             model, variables, steps=steps, cfg_scale=6.0,
             conditioning=conditioning, batch_size=1,
-            sample_size=bench.SAMPLE_SIZE, seed=seed,
+            sample_size=ss, seed=seed,
             sampler_type="dpmpp-3m-sde", sigma_min=0.3, sigma_max=500.0)
         np.asarray(a[0, 0, 0])  # hard sync
 

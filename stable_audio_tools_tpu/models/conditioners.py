@@ -307,14 +307,27 @@ class T5Conditioner(HostConditioner):
     smoke tests still run (a warning is emitted).
     """
 
-    T5_MODEL_DIMS = {
-        "t5-small": 512, "t5-base": 768, "t5-large": 1024, "t5-3b": 1024,
-        "t5-11b": 1024, "google/t5-v1_1-xl": 2048, "google/t5-v1_1-xxl": 4096,
-        "google/flan-t5-small": 512, "google/flan-t5-base": 768,
-        "google/flan-t5-large": 1024, "google/flan-t5-3b": 1024,
-        "google/flan-t5-11b": 1024, "google/flan-t5-xl": 2048,
-        "google/flan-t5-xxl": 4096,
+    # (d_model, d_ff, num_layers, num_heads, d_kv, gated) — the published
+    # architectures, so the random-init fallback is COMPUTE-IDENTICAL to the
+    # real tower (it used to build a 2-layer toy, which under-counted the
+    # conditioning cost in benches)
+    T5_ARCHS = {
+        "t5-small": (512, 2048, 6, 8, 64, False),
+        "t5-base": (768, 3072, 12, 12, 64, False),
+        "t5-large": (1024, 4096, 24, 16, 64, False),
+        "t5-3b": (1024, 16384, 24, 32, 128, False),
+        "t5-11b": (1024, 65536, 24, 128, 128, False),
+        "google/t5-v1_1-xl": (2048, 5120, 24, 32, 64, True),
+        "google/t5-v1_1-xxl": (4096, 10240, 24, 64, 64, True),
+        "google/flan-t5-small": (512, 1024, 8, 6, 64, True),
+        "google/flan-t5-base": (768, 2048, 12, 12, 64, True),
+        "google/flan-t5-large": (1024, 2816, 24, 16, 64, True),
+        "google/flan-t5-3b": (1024, 16384, 24, 32, 128, False),
+        "google/flan-t5-11b": (1024, 65536, 24, 128, 128, False),
+        "google/flan-t5-xl": (2048, 5120, 24, 32, 64, True),
+        "google/flan-t5-xxl": (4096, 10240, 24, 64, 64, True),
     }
+    T5_MODEL_DIMS = {k: v[0] for k, v in T5_ARCHS.items()}
 
     def __init__(self, cid, output_dim, t5_model_name="t5-base", max_length=128,
                  enable_grad=False, project_out=False, allow_random_init=False,
@@ -329,16 +342,32 @@ class T5Conditioner(HostConditioner):
         self._t5 = None
         self._tokenizer = None
 
+    def _fixture_dir(self):
+        """Repo-local weight fixture for zero-egress environments: populate
+        with scripts/fetch_t5_fixture.py wherever network exists, commit or
+        mount it, and every loader here picks it up before trying the hub.
+        Override the root with SAT_T5_FIXTURE_DIR."""
+        import os
+
+        root = os.environ.get("SAT_T5_FIXTURE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "fixtures", "t5")
+        d = os.path.join(root, self.t5_model_name.replace("/", "__"))
+        return d if os.path.isdir(d) else None
+
     def _load(self):
         if self._t5 is not None:
             return
         from transformers import AutoTokenizer, FlaxT5EncoderModel
 
         try:
-            self._tokenizer = AutoTokenizer.from_pretrained(self.t5_model_name)
+            fixture = self._fixture_dir()
+            src = fixture or self.t5_model_name
+            self._tokenizer = AutoTokenizer.from_pretrained(src)
+            # fixtures are saved as flax msgpack; the hub model is torch
             self._t5 = FlaxT5EncoderModel.from_pretrained(
-                self.t5_model_name, dtype=jnp.bfloat16, from_pt=True
-            )
+                src, dtype=jnp.bfloat16, from_pt=fixture is None)
+            self.loaded_from = "fixture" if fixture else "hub"
         except Exception as e:
             if not self.allow_random_init:
                 raise RuntimeError(
@@ -348,20 +377,30 @@ class T5Conditioner(HostConditioner):
                     "(load_torch_state_dict), or set allow_random_init=True "
                     "to accept a random tower."
                 ) from e
-            # explicit opt-in fallback: random init
+            # explicit opt-in fallback: random init at the TRUE architecture
+            # (identical compute cost to the real tower; see T5_ARCHS)
             logger.warning(
                 "T5 weights for %s unavailable (%s); using RANDOM INIT "
-                "(allow_random_init=True)",
+                "(allow_random_init=True) at the published architecture — "
+                "populate fixtures/t5 via scripts/fetch_t5_fixture.py where "
+                "network exists to use real weights",
                 self.t5_model_name, e,
             )
             from transformers import T5Config
 
+            d_model, d_ff, n_layers, n_heads, d_kv, gated = self.T5_ARCHS[
+                self.t5_model_name]
             cfg = T5Config(
-                d_model=self.dim, d_ff=self.dim * 2, num_layers=2, num_heads=8,
-                d_kv=self.dim // 8, vocab_size=32128,
+                d_model=d_model, d_ff=d_ff, num_layers=n_layers,
+                num_heads=n_heads, d_kv=d_kv, vocab_size=32128,
+                feed_forward_proj="gated-gelu" if gated else "relu",
             )
-            self._t5 = FlaxT5EncoderModel(cfg, dtype=jnp.bfloat16)
+            # init on CPU: flax's eager per-param init through the axon
+            # RPC tunnel takes minutes at full t5 depth
+            with jax.default_device(jax.devices("cpu")[0]):
+                self._t5 = FlaxT5EncoderModel(cfg, dtype=jnp.bfloat16)
             self._tokenizer = _FallbackTokenizer(self.max_length)
+            self.loaded_from = "random-init"
 
         self._encode = jax.jit(
             lambda ids, mask: self._t5.module.apply(
