@@ -17,6 +17,7 @@ without transposes.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple, Union
 
 import jax
@@ -26,6 +27,12 @@ from flax import linen as nn
 Dtype = jnp.dtype
 
 DIMENSION_NUMBERS = ("NWC", "WIO", "NWC")
+
+# Strided/transposed convs are rewritten to dense stride-1 convs via
+# space-to-depth / depth-to-space (see conv1d_strided_s2d /
+# conv_transpose1d_d2s). Exact rewrites; disable for A/B with
+# SAT_DENSE_STRIDED=0.
+_DENSE_STRIDED = os.environ.get("SAT_DENSE_STRIDED", "1") != "0"
 
 
 def _wn_kernel(v: jax.Array, g: jax.Array, eps: float = 0.0) -> jax.Array:
@@ -48,6 +55,11 @@ def conv1d(
     groups: int = 1,
 ) -> jax.Array:
     """Functional NLC conv1d with torch-style integer padding."""
+    if (
+        _DENSE_STRIDED and stride > 1 and dilation == 1 and groups == 1
+        and isinstance(padding, int)
+    ):
+        return conv1d_strided_s2d(x, kernel, bias, stride=stride, padding=padding)
     if isinstance(padding, int):
         pad = [(padding, padding)]
     elif padding == "same":
@@ -77,6 +89,91 @@ def conv1d(
     return out
 
 
+def conv1d_strided_s2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Strided conv1d as space-to-depth + a dense stride-1 conv. Exact.
+
+    A stride-s conv maps poorly onto the TPU conv path once gradients are
+    taken: the input gradient of a strided conv is an lhs-dilated conv whose
+    MACs are (s-1)/s zeros. Folding s input samples into channels turns the
+    forward AND both gradient convs into dense stride-1 convs (the whole
+    problem is one [B*Lout, m*s*Ci] x [m*s*Ci, Co] matmul on the MXU).
+
+    out[t] = sum_j xpad[t*s + j] K[j]: t*s is always block-aligned, so with
+    xpad reshaped to [B, Lb, s*Ci] and K zero-padded to m*s taps and reshaped
+    to [m, s*Ci, Co] (m = ceil(k/s)), the strided conv IS a valid stride-1
+    conv of kernel size m. For the codec down-convs (k = 2s) m = 2 with no
+    kernel padding waste.
+    """
+    k, Ci, Co = kernel.shape
+    s = stride
+    L = x.shape[1]
+    Lout = (L + 2 * padding - k) // s + 1
+    m = -(-k // s)
+    N = (Lout - 1 + m) * s  # exact padded length every block of which is read
+    x = jax.lax.pad(
+        x, jnp.zeros((), x.dtype),
+        [(0, 0, 0), (padding, N - L - padding, 0), (0, 0, 0)],
+    )
+    xb = x.reshape(x.shape[0], N // s, s * Ci)
+    kb = jnp.pad(kernel, ((0, m * s - k), (0, 0), (0, 0))).reshape(m, s * Ci, Co)
+    out = jax.lax.conv_general_dilated(
+        xb, kb, window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv_transpose1d_d2s(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Transposed conv1d as a dense stride-1 conv + depth-to-space. Exact.
+
+    The lhs-dilated form (conv_transpose1d) multiplies s-1 zeros per real
+    sample on the MXU — s× the useful MACs — and its weight/input gradients
+    inherit the dilation. Emitting all s output phases as channels of ONE
+    dense conv (z[i, r*Co+co] = sum_b x[i-b] K[b*s + r]) does exactly the
+    useful work; the phase axis then interleaves back via a reshape.
+
+    out[o] = sum_i x[i] K[o + p - i*s] (torch ConvTranspose1d semantics,
+    matching conv_transpose1d above). With u = o + p = i'*s + r the taps are
+    b = i' - i in [0, m), m = ceil(k/s).
+    """
+    k, Ci, Co = kernel.shape
+    s = stride
+    Lin = x.shape[1]
+    out_len = (Lin - 1) * s - 2 * padding + k
+    m = -(-k // s)
+    kp = jnp.pad(kernel, ((0, m * s - k), (0, 0), (0, 0)))
+    kb = kp.reshape(m, s, Ci, Co)
+    # z[i'] = sum_w xpad[i' + w] Kz[w], xpad left pad m-1 → x[i' + w - (m-1)];
+    # tap b = m-1-w, phase r goes channel-major-fast: [m, Ci, s*Co]
+    kz = jnp.flip(kb, axis=0).transpose(0, 2, 1, 3).reshape(m, Ci, s * Co)
+    z = jax.lax.conv_general_dilated(
+        x, kz, window_strides=(1,), padding=[(m - 1, m - 1)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=x.dtype,
+    )
+    B = x.shape[0]
+    z = z.reshape(B, (Lin + m - 1) * s, Co)
+    out = z[:, padding:padding + out_len]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def conv_transpose1d(
     x: jax.Array,
     kernel: jax.Array,
@@ -88,8 +185,13 @@ def conv_transpose1d(
 
     kernel: [k, in, out] (WIO for the equivalent forward correlation).
     Implemented as an input-dilated convolution with a spatially flipped
-    kernel — a single fused XLA op, no explicit upsample buffer.
+    kernel — a single fused XLA op, no explicit upsample buffer. When
+    stride > 1 this dispatches to the dense depth-to-space form
+    (conv_transpose1d_d2s), which does the same math without multiplying
+    the dilation zeros on the MXU.
     """
+    if _DENSE_STRIDED and stride > 1:
+        return conv_transpose1d_d2s(x, kernel, bias, stride=stride, padding=padding)
     k = kernel.shape[0]
     out = jax.lax.conv_general_dilated(
         x,

@@ -420,3 +420,108 @@ def test_lm_tp_decode_matches_single_device():
     with mesh_program_context(mesh):
         out = lm_generate_cached(model, tp_vars, **kwargs)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_arc_dp_mesh_matches_single_device():
+    """One ARC adversarial gen+disc pair (relativistic GAN on DiT hidden
+    states, contrastive + grad penalties) on a data=8 mesh (params
+    replicated, both optimizer states ZeRO-sharded) matches the
+    single-device pair. Same self-calibrating tolerance as the AE-GAN test:
+    Adam at step 0 amplifies reduction-order noise on near-zero gradients
+    to +-lr, so the bound is the single-device step's own sensitivity to a
+    batch permutation. Match: reference trains ARC under the same DDP
+    strategy as every wrapper (train.py:124-138)."""
+    from tests.test_arc import RF_DIT_CONFIG
+    from stable_audio_tools_tpu.parallel.mesh import mesh_program_context
+    from stable_audio_tools_tpu.training.arc import ARCTrainer
+
+    student = create_model_from_config(RF_DIT_CONFIG)
+    disc = create_model_from_config(RF_DIT_CONFIG)
+    mc = student._multi_conditioner
+    meta = [{"prompt_num": 0.1 * i} for i in range(8)]
+    prepared = jax.tree_util.tree_map(jnp.asarray, mc.gather_inputs(meta))
+    latents = jnp.asarray(
+        np.random.RandomState(0).randn(8, 2, 32).astype(np.float32))
+    t = jnp.ones((8,))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "cfg": jax.random.PRNGKey(2)}
+    gen_vars = student.init(rngs, latents, t, cond=prepared)
+    disc_vars = disc.init(rngs, latents, t, cond=prepared)
+    trainer = ARCTrainer(
+        model=student,
+        discriminator=disc,
+        arc_config={
+            "ode_warmup": {"warmup_steps": 0},
+            "gan": {"discriminator_dit_layer": 0, "grad_penalties": True,
+                    "contrastive": True},
+        },
+        optimizer_configs={
+            "diffusion": {"optimizer": {"type": "Adam", "config": {"lr": 1e-4}}},
+            "discriminator": {"optimizer": {"type": "Adam", "config": {"lr": 1e-4}}},
+        },
+    )
+    cond = student.apply(gen_vars, prepared, method=student.run_conditioner)
+    rolled = jax.tree_util.tree_map(lambda x: jnp.roll(x, 1, axis=0), cond)
+    host_state = jax.device_get(trainer.init_state(gen_vars, disc_vars, latents))
+    rng = jax.random.PRNGKey(3)
+
+    def run_pair(state, lat, c, rc):
+        state, gen_aux = trainer.train_step(state, lat, c, rng, 0)
+        state, disc_aux = trainer.train_step(
+            state, lat, c, jax.random.fold_in(rng, 1), 1,
+            rolled_cond_tensors=rc)
+        return state, gen_aux, disc_aux
+
+    s1 = jax.tree_util.tree_map(jnp.asarray, host_state)
+    s1, gen1, disc1 = run_pair(s1, latents, cond, rolled)
+    trainer._jit_cache.clear()
+
+    # single-device, permuted batch: calibrates the Adam step-0
+    # reduction-order noise floor (mathematically identical losses,
+    # different reduction order)
+    perm = np.random.RandomState(7).permutation(8)
+    permute = lambda tree: jax.tree_util.tree_map(lambda x: x[perm], tree)
+    sp = jax.tree_util.tree_map(jnp.asarray, host_state)
+    sp, _, _ = run_pair(sp, latents[perm], permute(cond), permute(rolled))
+    trainer._jit_cache.clear()
+    noise_floor = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for pair in (("gen_params",), ("disc_params",), ("head_params",))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(s1, pair[0])),
+            jax.tree_util.tree_leaves(getattr(sp, pair[0])))
+    )
+
+    mesh = create_mesh(data=8, model=1)
+    s8 = jax.tree_util.tree_map(jnp.asarray, host_state)
+    s8 = s8.replace(
+        gen_params=replicate_tree(s8.gen_params, mesh),
+        disc_params=replicate_tree(s8.disc_params, mesh),
+        head_params=replicate_tree(s8.head_params, mesh),
+        ema_params=replicate_tree(s8.ema_params, mesh),
+        gen_opt_state=jax.device_put(
+            s8.gen_opt_state, zero_shard_opt_state(s8.gen_opt_state, mesh)),
+        disc_opt_state=jax.device_put(
+            s8.disc_opt_state, zero_shard_opt_state(s8.disc_opt_state, mesh)),
+    )
+    slat = shard_batch({"audio": latents}, mesh)["audio"]
+    scond = shard_batch(cond, mesh)
+    srolled = shard_batch(rolled, mesh)
+    with mesh_program_context(mesh):
+        s8, gen8, disc8 = run_pair(s8, slat, scond, srolled)
+
+    for k in gen1:
+        np.testing.assert_allclose(
+            float(gen1[k]), float(gen8[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"gen log {k}")
+    for k in disc1:
+        np.testing.assert_allclose(
+            float(disc1[k]), float(disc8[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"disc log {k}")
+    atol = max(noise_floor, 5e-5)
+    for name in ("gen_params", "disc_params", "head_params"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(s1, name)),
+                        jax.tree_util.tree_leaves(getattr(s8, name))):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(jax.device_get(b)), rtol=0,
+                atol=atol, err_msg=name)
