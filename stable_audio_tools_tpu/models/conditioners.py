@@ -299,6 +299,21 @@ class PhonemeConditioner(HostConditioner):
         return PhonemeConditionerModule(self.output_dim, self.vocab, self.project_out)
 
 
+def _hub_reachable(timeout: float = 2.0) -> bool:
+    """Fast reachability probe for the HF hub: one DNS+TCP attempt instead
+    of transformers' ~45 s exponential-backoff retry ladder when offline."""
+    import os
+    import socket
+
+    if os.environ.get("HF_HUB_OFFLINE") or os.environ.get("TRANSFORMERS_OFFLINE"):
+        return False
+    try:
+        with socket.create_connection(("huggingface.co", 443), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 class T5Conditioner(HostConditioner):
     """Frozen T5 encoder (host-jitted, fp16-equivalent bf16) + learnable proj.
 
@@ -363,10 +378,15 @@ class T5Conditioner(HostConditioner):
         try:
             fixture = self._fixture_dir()
             src = fixture or self.t5_model_name
-            self._tokenizer = AutoTokenizer.from_pretrained(src)
+            # local-first: a cache/fixture hit is instant; only touch the hub
+            # when it is reachable (the retry ladder costs ~45 s offline)
+            kw = {}
+            if fixture is None and not _hub_reachable():
+                kw["local_files_only"] = True
+            self._tokenizer = AutoTokenizer.from_pretrained(src, **kw)
             # fixtures are saved as flax msgpack; the hub model is torch
             self._t5 = FlaxT5EncoderModel.from_pretrained(
-                src, dtype=jnp.bfloat16, from_pt=fixture is None)
+                src, dtype=jnp.bfloat16, from_pt=fixture is None, **kw)
             self.loaded_from = "fixture" if fixture else "hub"
         except Exception as e:
             if not self.allow_random_init:
@@ -402,11 +422,26 @@ class T5Conditioner(HostConditioner):
             self._tokenizer = _FallbackTokenizer(self.max_length)
             self.loaded_from = "random-init"
 
-        self._encode = jax.jit(
-            lambda ids, mask: self._t5.module.apply(
-                {"params": self._t5.params}, input_ids=ids, attention_mask=mask
+        self._encode = self._make_encode()
+
+    def _make_encode(self):
+        """Jitted encoder with params threaded as ARGUMENTS. Closing over
+        them bakes the full tower into the HLO as constants — the axon
+        remote-compile request then exceeds its body-size limit (HTTP 413)
+        and compilation fails before the first token is embedded."""
+        module = self._t5.module
+        jitted = jax.jit(
+            lambda params, ids, mask: module.apply(
+                {"params": params}, input_ids=ids, attention_mask=mask
             ).last_hidden_state
         )
+        # One h2d, reused per call. The device arg is LOAD-BEARING: the tower
+        # inits under default_device(cpu), which COMMITS the params to CPU,
+        # and device_put without a device leaves committed arrays in place —
+        # every encode then re-streams the full tower through the axon
+        # tunnel (~15 s/call measured for t5-base).
+        params = jax.device_put(self._t5.params, jax.devices()[0])
+        return lambda ids, mask: jitted(params, ids, mask)
 
     def load_torch_state_dict(self, sd, prefix: str):
         """Load the frozen T5 tower from a reference checkpoint's torch weights
@@ -448,11 +483,7 @@ class T5Conditioner(HostConditioner):
             self._tokenizer = AutoTokenizer.from_pretrained(self.t5_model_name)
         except Exception:
             self._tokenizer = _FallbackTokenizer(self.max_length)
-        self._encode = jax.jit(
-            lambda ids, mask: self._t5.module.apply(
-                {"params": self._t5.params}, input_ids=ids, attention_mask=mask
-            ).last_hidden_state
-        )
+        self._encode = self._make_encode()
         return True
 
     def prepare(self, values):
