@@ -34,6 +34,13 @@ DIMENSION_NUMBERS = ("NWC", "WIO", "NWC")
 # SAT_DENSE_STRIDED=0.
 _DENSE_STRIDED = os.environ.get("SAT_DENSE_STRIDED", "1") != "0"
 
+# Stride-1 convs carry a custom VJP that computes the WEIGHT gradient as
+# per-tap [Ci, B·L]x[B·L, Co] matmuls with f32 MXU accumulation instead of
+# XLA's grad-conv lowering (which contracts over batch and runs at
+# 1-16 TF/s in the GAN-step trace — the "weight-gradient convolutions"
+# roofline lever). Exact math, A/B with SAT_CONV1D_CUSTOM_VJP=0.
+_CUSTOM_CONV_VJP = os.environ.get("SAT_CONV1D_CUSTOM_VJP", "1") != "0"
+
 
 def _wn_kernel(v: jax.Array, g: jax.Array, eps: float = 0.0) -> jax.Array:
     """Weight-normalized kernel. v: [k, in, out], g: [out] -> [k, in, out].
@@ -43,6 +50,72 @@ def _wn_kernel(v: jax.Array, g: jax.Array, eps: float = 0.0) -> jax.Array:
     """
     norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
     return v * (g[None, None, :] / (norm + eps))
+
+
+def _conv1d_raw(x, kernel, pad_lo, pad_hi, dilation):
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(pad_lo, pad_hi)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=x.dtype,
+    )
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv1d_s1(x, kernel, pad_lo, pad_hi, dilation):
+    """Stride-1 NLC conv with a TPU-tuned backward (see _CUSTOM_CONV_VJP)."""
+    return _conv1d_raw(x, kernel, pad_lo, pad_hi, dilation)
+
+
+def _conv1d_s1_fwd(x, kernel, pad_lo, pad_hi, dilation):
+    return _conv1d_raw(x, kernel, pad_lo, pad_hi, dilation), (x, kernel)
+
+
+def _conv1d_s1_bwd(pad_lo, pad_hi, dilation, res, dy):
+    x, kernel = res
+    k, Ci, Co = kernel.shape
+    d = dilation
+    E = (k - 1) * d + 1
+    # dx[t] = sum_j dy[t + pad_lo - j*d] K[j]  — the usual flipped/io-swapped
+    # correlation; this IS what XLA emits and it runs fine on the MXU.
+    kT = jnp.flip(kernel, 0).transpose(0, 2, 1)
+    dx = jax.lax.conv_general_dilated(
+        dy,
+        kT,
+        window_strides=(1,),
+        padding=[(E - 1 - pad_lo, E - 1 - pad_hi)],
+        rhs_dilation=(d,),
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=dy.dtype,
+    )
+    # dW[j,ci,co] = sum_{b,l} xpad[b, l + j*d, ci] dy[b, l, co]: one
+    # [Ci, B·Lout]x[B·Lout, Co] matmul per tap (k is 1-7 here), contracting
+    # over the LONG axis in f32 on the MXU. XLA's grad-conv lowering of the
+    # same contraction runs at 1-16 TF/s in the GAN-step trace.
+    Lout = dy.shape[1]
+    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    dW = jnp.stack(
+        [
+            jax.lax.dot_general(
+                jax.lax.dynamic_slice_in_dim(xp, j * d, Lout, 1),
+                dy,
+                (((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for j in range(k)
+        ],
+        0,
+    ).astype(kernel.dtype)
+    return dx, dW
+
+
+_conv1d_s1.defvjp(_conv1d_s1_fwd, _conv1d_s1_bwd)
 
 
 def conv1d(
@@ -73,6 +146,12 @@ def conv1d(
         pad = [(0, 0)]
     else:
         raise ValueError(f"Unknown padding {padding}")
+
+    if _CUSTOM_CONV_VJP and stride == 1 and groups == 1:
+        out = _conv1d_s1(x, kernel, pad[0][0], pad[0][1], dilation)
+        if bias is not None:
+            out = out + bias
+        return out
 
     out = jax.lax.conv_general_dilated(
         x,
@@ -122,11 +201,14 @@ def conv1d_strided_s2d(
     )
     xb = x.reshape(x.shape[0], N // s, s * Ci)
     kb = jnp.pad(kernel, ((0, m * s - k), (0, 0), (0, 0))).reshape(m, s * Ci, Co)
-    out = jax.lax.conv_general_dilated(
-        xb, kb, window_strides=(1,), padding=[(0, 0)],
-        dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=x.dtype,
-    )
+    if _CUSTOM_CONV_VJP:
+        out = _conv1d_s1(xb, kb, 0, 0, 1)
+    else:
+        out = jax.lax.conv_general_dilated(
+            xb, kb, window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=x.dtype,
+        )
     if bias is not None:
         out = out + bias
     return out
@@ -161,11 +243,14 @@ def conv_transpose1d_d2s(
     # z[i'] = sum_w xpad[i' + w] Kz[w], xpad left pad m-1 → x[i' + w - (m-1)];
     # tap b = m-1-w, phase r goes channel-major-fast: [m, Ci, s*Co]
     kz = jnp.flip(kb, axis=0).transpose(0, 2, 1, 3).reshape(m, Ci, s * Co)
-    z = jax.lax.conv_general_dilated(
-        x, kz, window_strides=(1,), padding=[(m - 1, m - 1)],
-        dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=x.dtype,
-    )
+    if _CUSTOM_CONV_VJP:
+        z = _conv1d_s1(x, kz, m - 1, m - 1, 1)
+    else:
+        z = jax.lax.conv_general_dilated(
+            x, kz, window_strides=(1,), padding=[(m - 1, m - 1)],
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=x.dtype,
+        )
     B = x.shape[0]
     z = z.reshape(B, (Lin + m - 1) * s, Co)
     out = z[:, padding:padding + out_len]

@@ -101,3 +101,76 @@ def test_bias_paths():
     np.testing.assert_allclose(
         conv_transpose1d_d2s(x, w, b, stride=4, padding=2),
         _naive_convT(x, w, 4, 2) + b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "k,d,pad",
+    [(7, 1, 3), (7, 3, 9), (7, 9, 27), (1, 1, 0), (3, 1, "causal"),
+     (5, 2, "same"), (4, 1, 1)],
+)
+def test_custom_vjp_grads_match_xla(k, d, pad):
+    """conv1d's custom VJP (tap-sliced matmul dW, explicit dx conv) must
+    match jax.grad through the raw XLA conv to f32 reduction-order noise."""
+    from stable_audio_tools_tpu.ops import conv as conv_mod
+
+    rng = np.random.RandomState(0)
+    B, L, Ci, Co = 2, 257, 8, 12
+    x = jnp.asarray(rng.randn(B, L, Ci), jnp.float32)
+    w = jnp.asarray(rng.randn(k, Ci, Co) * 0.2, jnp.float32)
+    dy_seed = jnp.asarray(rng.randn(1), jnp.float32)
+
+    def loss_via(fn):
+        def f(x, w):
+            out = fn(x, w)
+            return jnp.sum(jnp.sin(out * 0.1) * dy_seed)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
+
+    custom = loss_via(
+        lambda x, w: conv_mod.conv1d(x, w, padding=pad, dilation=d))
+    if isinstance(pad, int):
+        plo = phi = pad
+    elif pad == "same":
+        t = (k - 1) * d
+        plo, phi = t // 2, t - t // 2
+    else:  # causal
+        plo, phi = (k - 1) * d, 0
+    raw = loss_via(
+        lambda x, w: conv_mod._conv1d_raw(x, w, plo, phi, d))
+
+    (lc, (dxc, dwc)) = custom(x, w)
+    (lr, (dxr, dwr)) = raw(x, w)
+    assert np.allclose(lc, lr, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dxc, dxr, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dwc, dwr, rtol=1e-5, atol=1e-4)
+
+
+def test_custom_vjp_under_vmap_and_scan():
+    """The custom-VJP conv must stay correct under vmap and lax.map (the
+    chunked-decode path wraps codec convs in lax.map)."""
+    from stable_audio_tools_tpu.ops import conv as conv_mod
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 2, 65, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(7, 8, 8) * 0.2, jnp.float32)
+
+    def one(xi, w):
+        return conv_mod.conv1d(xi, w, padding=3, dilation=3)
+
+    def loss(x, w, mapper):
+        return jnp.sum(mapper(lambda xi: one(xi, w), x) ** 2)
+
+    for mapper in (lambda f, xs: jax.vmap(f)(xs), jax.lax.map):
+        g = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)(
+            x, w, mapper)
+        gr = jax.jit(
+            jax.grad(
+                lambda x, w: jnp.sum(
+                    jax.vmap(
+                        lambda xi: conv_mod._conv1d_raw(xi, w, 3, 3, 3)
+                    )(x) ** 2
+                ),
+                argnums=(0, 1),
+            )
+        )(x, w)
+        np.testing.assert_allclose(g[0], gr[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(g[1], gr[1], rtol=1e-5, atol=1e-4)
