@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.activations import get_activation
+from ..ops.activations import SnakeBeta, get_activation
 from ..ops.conv import WNConv1d, WNConvTranspose1d
 from ..ops.transformer import TransformerBlock
 from .bottleneck import Bottleneck
@@ -40,6 +40,20 @@ def nlc_to_nct(x):
     return jnp.swapaxes(x, 1, 2)
 
 
+def act_then_conv(act: str, antialias: bool, channels: int, x, conv):
+    """activation → conv, fusing a snake activation into the conv's VMEM
+    pass (ops/kernels/conv1d_snake.py) where the kernel supports it.
+
+    `conv` is an already-constructed (WN)Conv1d / WNConvTranspose1d module.
+    Module construction order — and therefore every parameter path — is
+    identical to `get_activation(...)(x)` followed by `conv(x)`.
+    """
+    act_mod = get_activation(act, antialias, channels)
+    if isinstance(act_mod, SnakeBeta):
+        return conv(x, pre_snake=act_mod(return_params=True, dtype=x.dtype))
+    return conv(act_mod(x))
+
+
 class ResidualUnit(nn.Module):
     out_channels: int
     dilation: int
@@ -51,13 +65,13 @@ class ResidualUnit(nn.Module):
         res = x
         act = "snake" if self.use_snake else "elu"
         padding = (self.dilation * (7 - 1)) // 2
-        x = get_activation(act, self.antialias, self.out_channels)(x)
-        x = WNConv1d(
+        x = act_then_conv(act, self.antialias, self.out_channels, x, WNConv1d(
             features=self.out_channels, kernel_size=7, dilation=self.dilation,
             padding=padding, name="conv1",
-        )(x)
-        x = get_activation(act, self.antialias, self.out_channels)(x)
-        x = WNConv1d(features=self.out_channels, kernel_size=1, name="conv2")(x)
+        ))
+        x = act_then_conv(act, self.antialias, self.out_channels, x,
+                          WNConv1d(features=self.out_channels, kernel_size=1,
+                                   name="conv2"))
         return x + res
 
 
@@ -76,14 +90,13 @@ class EncoderBlock(nn.Module):
                 use_snake=self.use_snake, name=f"res_{i}",
             )(x)
         act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, self.antialias, self.in_channels)(x)
-        x = WNConv1d(
+        x = act_then_conv(act, self.antialias, self.in_channels, x, WNConv1d(
             features=self.out_channels,
             kernel_size=2 * self.stride,
             stride=self.stride,
             padding=math.ceil(self.stride / 2),
             name="down",
-        )(x)
+        ))
         return x
 
 
@@ -98,21 +111,23 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, self.antialias, self.in_channels)(x)
         if self.use_nearest_upsample:
+            x = get_activation(act, self.antialias, self.in_channels)(x)
             x = jnp.repeat(x, self.stride, axis=1)
             x = WNConv1d(
                 features=self.out_channels, kernel_size=2 * self.stride,
                 stride=1, use_bias=False, padding="same", name="up",
             )(x)
         else:
-            x = WNConvTranspose1d(
-                features=self.out_channels,
-                kernel_size=2 * self.stride,
-                stride=self.stride,
-                padding=math.ceil(self.stride / 2),
-                name="up",
-            )(x)
+            x = act_then_conv(
+                act, self.antialias, self.in_channels, x,
+                WNConvTranspose1d(
+                    features=self.out_channels,
+                    kernel_size=2 * self.stride,
+                    stride=self.stride,
+                    padding=math.ceil(self.stride / 2),
+                    name="up",
+                ))
         for i, dilation in enumerate((1, 3, 9)):
             x = ResidualUnit(
                 out_channels=self.out_channels, dilation=dilation,
@@ -145,8 +160,9 @@ class OobleckEncoder(nn.Module):
                 name=f"block_{i}",
             )(x)
         act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, self.antialias, c_mults[-1] * self.channels)(x)
-        x = WNConv1d(features=self.latent_dim, kernel_size=3, padding=1, name="conv_out")(x)
+        x = act_then_conv(act, self.antialias, c_mults[-1] * self.channels, x,
+                          WNConv1d(features=self.latent_dim, kernel_size=3,
+                                   padding=1, name="conv_out"))
         return x
 
 
@@ -177,9 +193,9 @@ class OobleckDecoder(nn.Module):
                 name=f"block_{j}",
             )(x)
         act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, self.antialias, c_mults[0] * self.channels)(x)
-        x = WNConv1d(features=self.out_channels, kernel_size=7, padding=3,
-                     use_bias=False, name="conv_out")(x)
+        x = act_then_conv(act, self.antialias, c_mults[0] * self.channels, x,
+                          WNConv1d(features=self.out_channels, kernel_size=7,
+                                   padding=3, use_bias=False, name="conv_out"))
         if self.final_tanh:
             x = jnp.tanh(x)
         return x

@@ -141,13 +141,21 @@ def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array) -> jax.Array:
 
 
 class SnakeBeta(nn.Module):
-    """Per-channel snake-beta activation (BigVGAN-style)."""
+    """Per-channel snake-beta activation (BigVGAN-style).
+
+    `__call__(x)` applies the activation; `__call__(dtype=...,
+    return_params=True)` declares the same parameters (identical param
+    paths/auto-naming) and returns the post-exp `(alpha, beta)` pair so a
+    following conv can fuse the activation into its VMEM pass
+    (ops/kernels/conv1d_snake.py) via `conv1d(..., pre_snake=...)`.
+    """
 
     features: int
     alpha_logscale: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: Optional[jax.Array] = None, *,
+                 return_params: bool = False, dtype=None):
         if self.alpha_logscale:
             alpha = self.param("alpha", nn.initializers.zeros, (self.features,), jnp.float32)
             beta = self.param("beta", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -155,6 +163,9 @@ class SnakeBeta(nn.Module):
         else:
             alpha = self.param("alpha", nn.initializers.ones, (self.features,), jnp.float32)
             beta = self.param("beta", nn.initializers.ones, (self.features,), jnp.float32)
+        if return_params:
+            dt = dtype if dtype is not None else jnp.float32
+            return alpha.astype(dt), beta.astype(dt)
         return snake_beta(x, alpha.astype(x.dtype), beta.astype(x.dtype))
 
 

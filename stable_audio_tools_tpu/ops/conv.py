@@ -118,6 +118,24 @@ def _conv1d_s1_bwd(pad_lo, pad_hi, dilation, res, dy):
 _conv1d_s1.defvjp(_conv1d_s1_fwd, _conv1d_s1_bwd)
 
 
+def _dispatch_pre_snake(x, kernel, bias, alpha, beta, pad_lo, pad_hi,
+                        dilation: int = 1) -> jax.Array:
+    """Fused snake→conv where supported; snake-then-conv otherwise."""
+    from .kernels.conv1d_snake import snake_conv1d, snake_conv1d_supported
+
+    if snake_conv1d_supported(x, kernel, 1, dilation):
+        b = bias if bias is not None else jnp.zeros((kernel.shape[-1],), x.dtype)
+        return snake_conv1d(x, kernel, b, alpha, beta, pad_lo, pad_hi, dilation)
+    from .activations import snake_beta
+
+    sx = snake_beta(x, alpha, beta)
+    if _CUSTOM_CONV_VJP:
+        out = _conv1d_s1(sx, kernel, pad_lo, pad_hi, dilation)
+    else:
+        out = _conv1d_raw(sx, kernel, pad_lo, pad_hi, dilation)
+    return out if bias is None else out + bias
+
+
 def conv1d(
     x: jax.Array,
     kernel: jax.Array,
@@ -126,13 +144,36 @@ def conv1d(
     padding: Union[int, str] = 0,
     dilation: int = 1,
     groups: int = 1,
+    pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
-    """Functional NLC conv1d with torch-style integer padding."""
+    """Functional NLC conv1d with torch-style integer padding.
+
+    pre_snake=(alpha, beta) fuses a preceding snake-beta activation into
+    the conv (one VMEM pass, ops/kernels/conv1d_snake.py) where supported;
+    otherwise the activation is applied as a separate op. Exact because
+    snake(0) = 0 commutes with the conv zero padding.
+    """
     if (
         _DENSE_STRIDED and stride > 1 and dilation == 1 and groups == 1
         and isinstance(padding, int)
     ):
-        return conv1d_strided_s2d(x, kernel, bias, stride=stride, padding=padding)
+        return conv1d_strided_s2d(x, kernel, bias, stride=stride,
+                                  padding=padding, pre_snake=pre_snake)
+    if pre_snake is not None:
+        from .kernels.conv1d_snake import snake_conv1d, snake_conv1d_supported
+
+        alpha, beta = pre_snake
+        if (snake_conv1d_supported(x, kernel, stride, dilation, groups)
+                and isinstance(padding, int)):
+            b = bias if bias is not None else jnp.zeros(
+                (kernel.shape[-1],), x.dtype)
+            return snake_conv1d(x, kernel, b, alpha, beta,
+                                padding, padding, dilation)
+        from .activations import snake_beta
+
+        x = snake_beta(x, alpha, beta)
+        return conv1d(x, kernel, bias, stride=stride, padding=padding,
+                      dilation=dilation, groups=groups)
     if isinstance(padding, int):
         pad = [(padding, padding)]
     elif padding == "same":
@@ -174,6 +215,7 @@ def conv1d_strided_s2d(
     bias: Optional[jax.Array] = None,
     stride: int = 1,
     padding: int = 0,
+    pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Strided conv1d as space-to-depth + a dense stride-1 conv. Exact.
 
@@ -201,6 +243,12 @@ def conv1d_strided_s2d(
     )
     xb = x.reshape(x.shape[0], N // s, s * Ci)
     kb = jnp.pad(kernel, ((0, m * s - k), (0, 0), (0, 0))).reshape(m, s * Ci, Co)
+    if pre_snake is not None:
+        # snake is per-channel: in the blocked layout alpha/beta tile s×
+        # (snake(0) = 0 keeps the inserted zero padding exact)
+        alpha, beta = pre_snake
+        return _dispatch_pre_snake(xb, kb, bias, jnp.tile(alpha, s),
+                                   jnp.tile(beta, s), 0, 0)
     if _CUSTOM_CONV_VJP:
         out = _conv1d_s1(xb, kb, 0, 0, 1)
     else:
@@ -220,6 +268,7 @@ def conv_transpose1d_d2s(
     bias: Optional[jax.Array] = None,
     stride: int = 1,
     padding: int = 0,
+    pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Transposed conv1d as a dense stride-1 conv + depth-to-space. Exact.
 
@@ -243,6 +292,14 @@ def conv_transpose1d_d2s(
     # z[i'] = sum_w xpad[i' + w] Kz[w], xpad left pad m-1 → x[i' + w - (m-1)];
     # tap b = m-1-w, phase r goes channel-major-fast: [m, Ci, s*Co]
     kz = jnp.flip(kb, axis=0).transpose(0, 2, 1, 3).reshape(m, Ci, s * Co)
+    if pre_snake is not None:
+        # bias is per real out-channel; phase-major in the d2s layout
+        alpha, beta = pre_snake
+        tiled_b = None if bias is None else jnp.tile(bias, s)
+        z = _dispatch_pre_snake(x, kz, tiled_b, alpha, beta, m - 1, m - 1)
+        B = x.shape[0]
+        z = z.reshape(B, (Lin + m - 1) * s, Co)
+        return z[:, padding:padding + out_len]
     if _CUSTOM_CONV_VJP:
         z = _conv1d_s1(x, kz, m - 1, m - 1, 1)
     else:
@@ -265,6 +322,7 @@ def conv_transpose1d(
     bias: Optional[jax.Array] = None,
     stride: int = 1,
     padding: int = 0,
+    pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Functional NLC transposed conv1d with torch ConvTranspose1d semantics.
 
@@ -276,7 +334,12 @@ def conv_transpose1d(
     the dilation zeros on the MXU.
     """
     if _DENSE_STRIDED and stride > 1:
-        return conv_transpose1d_d2s(x, kernel, bias, stride=stride, padding=padding)
+        return conv_transpose1d_d2s(x, kernel, bias, stride=stride,
+                                    padding=padding, pre_snake=pre_snake)
+    if pre_snake is not None:
+        from .activations import snake_beta
+
+        x = snake_beta(x, *pre_snake)
     k = kernel.shape[0]
     out = jax.lax.conv_general_dilated(
         x,
@@ -345,7 +408,9 @@ class WNConv1d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 ) -> jax.Array:
         in_ch = x.shape[-1]
         shape = (self.kernel_size, in_ch, self.features)
         bound = 1.0 / math.sqrt(in_ch * self.kernel_size)
@@ -367,6 +432,8 @@ class WNConv1d(nn.Module):
                 return jax.random.uniform(key, s, dt, -bound, bound)
             bias = self.param("bias", b_init, (self.features,), jnp.float32)
         dtype = self.dtype or x.dtype
+        if pre_snake is not None:
+            pre_snake = tuple(p.astype(dtype) for p in pre_snake)
         return conv1d(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -374,6 +441,7 @@ class WNConv1d(nn.Module):
             stride=self.stride,
             padding=self.padding,
             dilation=self.dilation,
+            pre_snake=pre_snake,
         )
 
 
@@ -510,7 +578,9 @@ class WNConvTranspose1d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 ) -> jax.Array:
         in_ch = x.shape[-1]
         shape = (self.kernel_size, in_ch, self.features)  # WIO
         bound = 1.0 / math.sqrt(in_ch * self.kernel_size)
@@ -534,10 +604,13 @@ class WNConvTranspose1d(nn.Module):
                 return jax.random.uniform(key, s, dt, -bound, bound)
             bias = self.param("bias", b_init, (self.features,), jnp.float32)
         dtype = self.dtype or x.dtype
+        if pre_snake is not None:
+            pre_snake = tuple(p.astype(dtype) for p in pre_snake)
         return conv_transpose1d(
             x.astype(dtype),
             kernel.astype(dtype),
             bias.astype(dtype) if bias is not None else None,
             stride=self.stride,
             padding=self.padding,
+            pre_snake=pre_snake,
         )

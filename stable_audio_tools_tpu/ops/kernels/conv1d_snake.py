@@ -1,0 +1,261 @@
+"""Fused snake-beta → conv1d Pallas kernel for TPU.
+
+Every Oobleck/DAC codec conv is preceded by a per-channel snake activation
+(reference: stable_audio_tools/models/autoencoders.py:97-153). Run as
+separate XLA ops, the snake is a serialized VPU pass (the MXU idles) plus a
+full HBM round-trip of the activations; measured ~16 ms of the SA-2.0 GAN
+train-step pair. This kernel computes
+
+    y = conv1d(snake_beta(x, alpha, beta), W) + bias        (stride 1, NLC)
+
+in one pass: each grid step loads two consecutive [BL, Ci] blocks of x into
+VMEM (the second provides the (k-1)*d halo), evaluates the fast-sin2 snake
+polynomial on the VPU, and accumulates the k tap matmuls on the MXU — the
+VPU work hides under the MXU pipeline and the snake intermediate never
+touches HBM.
+
+The backward is a custom VJP:
+- dx: same windowed structure over dy with the flipped/io-swapped kernel,
+  multiplied in-VMEM by snake'(x), emitting per-block [8, Ci] partial sums
+  for dalpha/dbeta (summed by a tiny XLA reduce) — one pass, no
+  materialized f32 residuals.
+- dW: snake(x) is recomputed by the Pallas snake forward and contracted
+  with dy by the tap-sliced matmul form (ops/conv.py::_conv1d_s1_bwd).
+
+Semantics match ops.activations._snake_fast ∘ ops.conv.conv1d exactly
+(same polynomial, f32 accumulation); parity pinned by
+tests/test_conv1d_snake.py. Zero padding commutes with the fusion because
+snake(0) = 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .snake import _fwd as _snake_fwd, _horner, _polys
+
+_ENABLED = os.environ.get("SAT_FUSED_SNAKE_CONV", "1") != "0"
+
+_BL = 512
+# weights + double-buffered x/dy blocks + f32 accumulators must fit VMEM
+# (~16 MB); 4 MB of bf16 weights leaves comfortable headroom at BL=512
+_MAX_W_BYTES = 4 * 1024 * 1024
+
+
+def _snake_f32(xf, a, binv):
+    cos_poly, _ = _polys()
+    u = (xf * a) * jnp.float32(1.0 / math.pi)
+    t = u - jnp.floor(u) - jnp.float32(0.5)
+    v = (t * t) * jnp.float32(4.0)
+    s2 = (jnp.float32(1.0) + _horner(cos_poly, v)) * jnp.float32(0.5)
+    return xf + binv * s2
+
+
+def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d):
+    a = a_ref[...].astype(jnp.float32)
+    binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
+    xw = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0).astype(jnp.float32)
+    sx = _snake_f32(xw, a, binv).astype(x0_ref.dtype)
+    bl = x0_ref.shape[1]
+    acc = jnp.zeros((bl, w_ref.shape[-1]), jnp.float32)
+    for j in range(k):
+        acc += jax.lax.dot_general(
+            jax.lax.slice_in_dim(sx, j * d, j * d + bl, axis=0),
+            w_ref[j],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc += bias_ref[...].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_dx_kernel(dy0_ref, dy1_ref, x_ref, wT_ref, a_ref, b_ref,
+                   dx_ref, pa_ref, pb_ref, *, k, d, n_rows):
+    cos_poly, dcos_poly = _polys()
+    a = a_ref[...].astype(jnp.float32)
+    binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
+    dyw = jnp.concatenate([dy0_ref[0], dy1_ref[0]], axis=0)
+    bl = dy0_ref.shape[1]
+    acc = jnp.zeros((bl, wT_ref.shape[-1]), jnp.float32)
+    for j in range(k):
+        acc += jax.lax.dot_general(
+            jax.lax.slice_in_dim(dyw, j * d, j * d + bl, axis=0),
+            wT_ref[j],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # acc = d(loss)/d(snake_out); chain through the snake
+    xf = x_ref[0].astype(jnp.float32)
+    u = (xf * a) * jnp.float32(1.0 / math.pi)
+    t = u - jnp.floor(u) - jnp.float32(0.5)
+    v = (t * t) * jnp.float32(4.0)
+    s2 = (jnp.float32(1.0) + _horner(cos_poly, v)) * jnp.float32(0.5)
+    ds2 = jnp.float32(4.0 / math.pi) * t * _horner(dcos_poly, v)
+    dx_ref[0] = (acc * (1.0 + (a * binv) * ds2)).astype(dx_ref.dtype)
+    # per-block dalpha/dbeta partials; junk tail rows (>= n_rows in the
+    # last L block) are masked — their pb term is only ~0 to poly accuracy
+    row = (jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
+           + pl.program_id(1) * bl)
+    live = row < n_rows
+    zero = jnp.float32(0.0)
+    C = xf.shape[-1]
+    pa = jnp.where(live, acc * xf * binv * ds2, zero)
+    pb = jnp.where(live, -acc * s2 * (binv * binv), zero)
+    pa_ref[0, 0] = jnp.sum(pa.reshape(-1, 8, C), axis=0)
+    pb_ref[0, 0] = jnp.sum(pb.reshape(-1, 8, C), axis=0)
+
+
+def _pad_rows(x, lo, total):
+    B, L, C = x.shape
+    return jax.lax.pad(
+        x, jnp.zeros((), x.dtype), [(0, 0, 0), (lo, total - L - lo, 0), (0, 0, 0)]
+    )
+
+
+def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
+    B, L, Ci = x.shape
+    k, _, Co = kernel.shape
+    E = (k - 1) * d + 1
+    Lout = L + pad_lo + pad_hi - E + 1
+    nblk = pl.cdiv(Lout, _BL)
+    xp = _pad_rows(x, pad_lo, (nblk + 1) * _BL)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, d=d),
+        grid=(B, nblk),
+        in_specs=[
+            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i + 1, 0)),
+            pl.BlockSpec((k, Ci, Co), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, Co), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _BL, Co), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nblk * _BL, Co), x.dtype),
+        interpret=interpret,
+    )(xp, xp, kernel, alpha.reshape(1, Ci), beta.reshape(1, Ci),
+      bias.reshape(1, Co))
+    return out[:, :Lout]
+
+
+def _run_bwd_dx(dy, x, kernel, alpha, beta, pad_lo, pad_hi, d, interpret):
+    B, L, Ci = x.shape
+    k, _, Co = kernel.shape
+    E = (k - 1) * d + 1
+    nblk = pl.cdiv(L, _BL)
+    kT = jnp.flip(kernel, 0).transpose(0, 2, 1)  # [k, Co, Ci]
+    dyp = _pad_rows(dy, E - 1 - pad_lo, (nblk + 1) * _BL)
+    xpad = _pad_rows(x, 0, nblk * _BL)
+    dx, pa, pb = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, k=k, d=d, n_rows=L),
+        grid=(B, nblk),
+        in_specs=[
+            pl.BlockSpec((1, _BL, Co), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, _BL, Co), lambda b, i: (b, i + 1, 0)),
+            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((k, Co, Ci), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, 8, Ci), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 8, Ci), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nblk * _BL, Ci), dy.dtype),
+            jax.ShapeDtypeStruct((B, nblk, 8, Ci), jnp.float32),
+            jax.ShapeDtypeStruct((B, nblk, 8, Ci), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dyp, dyp, xpad, kT, alpha.reshape(1, Ci), beta.reshape(1, Ci))
+    dalpha = jnp.sum(pa, axis=(0, 1, 2))
+    dbeta = jnp.sum(pb, axis=(0, 1, 2))
+    return dx[:, :L], dalpha, dbeta
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def snake_conv1d(x, kernel, bias, alpha, beta, pad_lo, pad_hi, dilation):
+    """conv1d(snake_beta(x, alpha, beta), kernel) + bias, fused on TPU.
+
+    x: [B, L, Ci]; kernel: [k, Ci, Co] (WIO); alpha/beta: [Ci] (post-exp,
+    i.e. the values snake_beta consumes); bias: [Co]. Stride 1 only.
+    """
+    return _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, dilation,
+                    _interpret())
+
+
+def _snake_conv1d_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, dilation):
+    out = _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, dilation,
+                   _interpret())
+    return out, (x, kernel, alpha, beta)
+
+
+def _snake_conv1d_bwd(pad_lo, pad_hi, dilation, res, dy):
+    x, kernel, alpha, beta = res
+    k, Ci, Co = kernel.shape
+    dx, dalpha, dbeta = _run_bwd_dx(
+        dy, x, kernel, alpha, beta, pad_lo, pad_hi, dilation, _interpret())
+    # dW: recompute snake(x) (one fused VMEM pass) and contract each tap
+    # against dy on the long axis — the fast weight-gradient form
+    B, L, _ = x.shape
+    a2 = alpha.reshape(1, Ci).astype(jnp.float32)
+    b2 = beta.reshape(1, Ci).astype(jnp.float32)
+    if _interpret():
+        binv = 1.0 / (b2 + 1e-9)
+        sx = _snake_f32(
+            x.reshape(-1, Ci).astype(jnp.float32), a2, binv
+        ).astype(x.dtype).reshape(x.shape)
+    else:
+        sx = _snake_fwd(x, alpha.astype(x.dtype), beta.astype(x.dtype))
+    sxp = jnp.pad(sx, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    Lout = dy.shape[1]
+    dW = jnp.stack(
+        [
+            jax.lax.dot_general(
+                jax.lax.dynamic_slice_in_dim(sxp, j * dilation, Lout, 1),
+                dy,
+                (((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for j in range(k)
+        ],
+        0,
+    ).astype(kernel.dtype)
+    dbias = jnp.sum(dy.astype(jnp.float32), axis=(0, 1)).astype(dy.dtype)
+    return (dx, dW, dbias, dalpha.astype(alpha.dtype),
+            dbeta.astype(beta.dtype))
+
+
+snake_conv1d.defvjp(_snake_conv1d_fwd, _snake_conv1d_bwd)
+
+
+def snake_conv1d_supported(x, kernel, stride: int, dilation: int,
+                           groups: int = 1) -> bool:
+    """Dispatch gate: TPU backend (or explicit interpret tests), 128-lane
+    channel counts, halo within one block, weights within the VMEM budget."""
+    if not _ENABLED or stride != 1 or groups != 1:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    k, Ci, Co = kernel.shape
+    if Ci % 128 or Co % 128:
+        return False
+    if (k - 1) * dilation > _BL:
+        return False
+    if k * Ci * Co * 2 > _MAX_W_BYTES:
+        return False
+    # degenerate lengths: the pipeline needs at least one full block
+    return x.shape[1] >= 8

@@ -1,0 +1,118 @@
+"""Parity tests for the fused snake→conv1d Pallas kernel.
+
+The kernel (ops/kernels/conv1d_snake.py) must match snake_beta ∘ conv1d
+exactly up to f32 reduction order: same fast-sin2 polynomial, f32 MXU
+accumulation. On CPU these run in Pallas interpret mode; the module-level
+dispatch gate (TPU-only) is covered by the plumbing tests, which exercise
+the same `pre_snake` code paths through their CPU fallback.
+
+Reference behavior: every Oobleck/DAC conv is preceded by a per-channel
+snake (stable_audio_tools/models/autoencoders.py:97-153).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_audio_tools_tpu.ops.activations import snake_beta
+from stable_audio_tools_tpu.ops.conv import conv1d, conv_transpose1d
+from stable_audio_tools_tpu.ops.kernels.conv1d_snake import snake_conv1d
+
+
+def _mk(rng, B, L, Ci, Co, k):
+    x = jnp.asarray(rng.standard_normal((B, L, Ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, Ci, Co)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Co,)) * 0.1, jnp.float32)
+    alpha = jnp.asarray(np.abs(rng.standard_normal(Ci)) + 0.3, jnp.float32)
+    beta = jnp.asarray(np.abs(rng.standard_normal(Ci)) + 0.3, jnp.float32)
+    return x, w, b, alpha, beta
+
+
+@pytest.mark.parametrize("k,d,L", [(7, 1, 700), (7, 3, 700), (1, 1, 600),
+                                   (2, 1, 64)])
+def test_kernel_matches_unfused(k, d, L):
+    rng = np.random.default_rng(0)
+    x, w, b, alpha, beta = _mk(rng, 2, L, 128, 128, k)
+    pad = (d * (k - 1)) // 2
+
+    ref = conv1d(snake_beta(x, alpha, beta), w, b, padding=pad, dilation=d)
+    got = snake_conv1d(x, w, b, alpha, beta, pad, pad, d)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def loss_ref(x, w, b, a, be):
+        y = conv1d(snake_beta(x, a, be), w, b, padding=pad, dilation=d)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_got(x, w, b, a, be):
+        return jnp.sum(jnp.sin(snake_conv1d(x, w, b, a, be, pad, pad, d)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w, b, alpha, beta)
+    gg = jax.grad(loss_got, argnums=(0, 1, 2, 3, 4))(x, w, b, alpha, beta)
+    for name, a_, b_ in zip(["dx", "dW", "db", "dalpha", "dbeta"], gr, gg):
+        scale = float(jnp.max(jnp.abs(a_))) + 1e-12
+        np.testing.assert_allclose(
+            b_, a_, atol=2e-6 * scale, rtol=1e-5, err_msg=name)
+
+
+def test_asymmetric_padding():
+    rng = np.random.default_rng(1)
+    x, w, b, alpha, beta = _mk(rng, 1, 300, 128, 256, 4)
+    ref = conv1d(jnp.pad(snake_beta(x, alpha, beta), ((0, 0), (1, 2), (0, 0))),
+                 w, b, padding=0)
+    got = snake_conv1d(x, w, b, alpha, beta, 1, 2, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [2, 4])
+def test_conv1d_pre_snake_plumbing_strided(stride):
+    """conv1d(pre_snake=...) == snake then conv for the s2d strided path."""
+    rng = np.random.default_rng(2)
+    k = 2 * stride
+    x, w, b, alpha, beta = _mk(rng, 2, 256, 128, 256, k)
+    pad = -(-stride // 2)
+    ref = conv1d(snake_beta(x, alpha, beta), w, b, stride=stride, padding=pad)
+    got = conv1d(x, w, b, stride=stride, padding=pad,
+                 pre_snake=(alpha, beta))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [2, 4])
+def test_conv_transpose1d_pre_snake_plumbing(stride):
+    rng = np.random.default_rng(3)
+    k = 2 * stride
+    x, w, b, alpha, beta = _mk(rng, 2, 96, 128, 128, k)
+    pad = -(-stride // 2)
+    ref = conv_transpose1d(snake_beta(x, alpha, beta), w, b, stride=stride,
+                           padding=pad)
+    got = conv_transpose1d(x, w, b, stride=stride, padding=pad,
+                           pre_snake=(alpha, beta))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_module_param_paths_unchanged():
+    """act_then_conv keeps the exact param tree of act(x); conv(x)."""
+    from stable_audio_tools_tpu.models.autoencoders import (
+        OobleckDecoder, OobleckEncoder)
+
+    enc = OobleckEncoder(channels=16, latent_dim=8, c_mults=(1, 2),
+                         strides=(2, 2), use_snake=True)
+    x = jnp.zeros((1, 64, 2))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    paths = sorted(
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(params)[0])
+    # snake params live under the auto-named SnakeBeta module, convs under
+    # their explicit names — the layout the torch importer maps onto
+    assert any("SnakeBeta_0" in p and "alpha" in p for p in paths), paths[:8]
+    assert any("res_0" in p and "conv1" in p for p in paths)
+
+    dec = OobleckDecoder(out_channels=2, channels=16, latent_dim=8,
+                         c_mults=(1, 2), strides=(2, 2), use_snake=True)
+    z = jnp.zeros((1, 16, 8))
+    dparams = dec.init(jax.random.PRNGKey(0), z)["params"]
+    dpaths = sorted(
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(dparams)[0])
+    assert any("block_0" in p and "up" in p for p in dpaths)
+    assert any("SnakeBeta" in p and "beta" in p for p in dpaths)
