@@ -94,11 +94,20 @@ def _conv1d_s1_bwd(pad_lo, pad_hi, dilation, res, dy):
         dimension_numbers=DIMENSION_NUMBERS,
         preferred_element_type=dy.dtype,
     )
-    # dW[j,ci,co] = sum_{b,l} xpad[b, l + j*d, ci] dy[b, l, co]: one
+    # dW[j,ci,co] = sum_{b,l} xpad[b, l + j*d, ci] dy[b, l, co]. On TPU a
+    # Pallas streaming kernel reads x and dy ONCE and keeps the [k,Ci,CoB]
+    # f32 accumulator in VMEM (kernels/conv1d_snake.py); otherwise one
     # [Ci, B·Lout]x[B·Lout, Co] matmul per tap (k is 1-7 here), contracting
     # over the LONG axis in f32 on the MXU. XLA's grad-conv lowering of the
     # same contraction runs at 1-16 TF/s in the GAN-step trace.
     Lout = dy.shape[1]
+    if jax.default_backend() == "tpu":
+        from .kernels.conv1d_snake import conv1d_wgrad, wgrad_kernel_supported
+
+        if wgrad_kernel_supported(k, Ci, Co, d, Lout):
+            dW = conv1d_wgrad(dy, x, (k, Ci, Co), pad_lo, pad_hi, d,
+                              interpret=False).astype(kernel.dtype)
+            return dx, dW
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     dW = jnp.stack(
         [
@@ -445,6 +454,72 @@ class WNConv1d(nn.Module):
         )
 
 
+def _conv2d_raw_nhwc(x, kernel, padding, h_dilation):
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=padding,
+        rhs_dilation=(h_dilation, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv2d_small_cin(x, kernel, padding, h_dilation):
+    """Stride-1 NHWC conv2d with a restructured input gradient for small Ci.
+
+    XLA lowers the dgrad of a Ci-channel conv as a conv with Ci OUTPUT
+    lanes — at the discriminators' first layer (packed Ci=8) that is 8/128
+    MXU lanes (measured ~4 TF/s, ~5 ms of the GAN-step pair). Here dx is
+    instead one full-width matmul dy·K^T over Co producing per-tap planes
+    [B,Ho,Wo,kh·kw·Ci], then an overlap-add of kh·kw statically-shifted
+    slices (pure elementwise, HBM-speed). Exact: same contractions, f32
+    accumulation in the matmul.
+    """
+    return _conv2d_raw_nhwc(x, kernel, padding, h_dilation)
+
+
+def _conv2d_small_cin_fwd(x, kernel, padding, h_dilation):
+    return _conv2d_raw_nhwc(x, kernel, padding, h_dilation), (x, kernel)
+
+
+def _conv2d_small_cin_bwd(padding, h_dilation, res, dy):
+    x, kernel = res
+    kh, kw, Ci, Co = kernel.shape
+    (pt_lo, _), (pl_lo, _) = padding
+    B, Ho, Wo, _ = dy.shape
+    _, Hin, Win, _ = x.shape
+    # dW: XLA's wgrad for this layer is fine (M=kh·kw·Ci taps, N=Co wide)
+    _, pull = jax.vjp(lambda kk: _conv2d_raw_nhwc(x, kk, padding, h_dilation),
+                      kernel)
+    dW = pull(dy)[0]
+    # dx: T[b,i,j,(u,v,ci)] = sum_co dy[b,i,j,co] K[u,v,ci,co] — one matmul
+    # with kh·kw·Ci output lanes instead of Ci
+    kr = kernel.reshape(kh * kw * Ci, Co)
+    t = jax.lax.dot_general(
+        dy.reshape(-1, Co), kr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, Ho, Wo, kh, kw, Ci)
+    t = t.astype(dy.dtype)
+    dxp = jnp.zeros(
+        (B, Ho + (kh - 1) * h_dilation, Wo + kw - 1, Ci), dy.dtype)
+    for u in range(kh):
+        for v in range(kw):
+            dxp = dxp.at[:, u * h_dilation:u * h_dilation + Ho,
+                         v:v + Wo, :].add(t[:, :, :, u, v, :])
+    dx = jax.lax.slice(
+        dxp, (0, pt_lo, pl_lo, 0), (B, pt_lo + Hin, pl_lo + Win, Ci))
+    return dx.astype(x.dtype), dW
+
+
+_conv2d_small_cin.defvjp(_conv2d_small_cin_fwd, _conv2d_small_cin_bwd)
+
+# dgrad restructure pays off while Ci lanes ≪ 128; beyond ~32 the native
+# lowering is within reach of the matmul + overlap-add form
+_SMALL_CIN_MAX = 32
+
+
 def pack_w_pairs(x: jax.Array) -> jax.Array:
     """NHWC [B, H, W, C] → [B, H, W/2, 2C] by folding W pairs into channels.
 
@@ -535,14 +610,20 @@ class WNConv2d(nn.Module):
                 "w_packed needs stride 1 / w-dilation 1 / odd kw with same "
                 "w-padding (even kw would change the output width)")
             kp, ul, ur = _pack_kernel_w(kernel, pw)
-            out = jax.lax.conv_general_dilated(
-                x.astype(dtype),
-                kp.astype(dtype),
-                window_strides=(1, 1),
-                padding=[(pt, pt), (ul, ur)],
-                rhs_dilation=(self.dilation[0], 1),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            pad2 = [(pt, pt), (ul, ur)]
+            if 2 * in_ch <= _SMALL_CIN_MAX:
+                out = _conv2d_small_cin(
+                    x.astype(dtype), kp.astype(dtype), tuple(pad2),
+                    self.dilation[0])
+            else:
+                out = jax.lax.conv_general_dilated(
+                    x.astype(dtype),
+                    kp.astype(dtype),
+                    window_strides=(1, 1),
+                    padding=pad2,
+                    rhs_dilation=(self.dilation[0], 1),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             if bias is not None:
                 out = out + jnp.tile(bias, 2).astype(dtype)
             return out
@@ -550,14 +631,20 @@ class WNConv2d(nn.Module):
             pad = self.padding.upper()
         else:
             pad = [(p, p) for p in self.padding]
-        out = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=self.stride,
-            padding=pad,
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if (in_ch <= _SMALL_CIN_MAX and self.stride == (1, 1)
+                and self.dilation[1] == 1 and not isinstance(pad, str)):
+            out = _conv2d_small_cin(
+                x.astype(dtype), kernel.astype(dtype),
+                tuple(tuple(p) for p in pad), self.dilation[0])
+        else:
+            out = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=self.stride,
+                padding=pad,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if bias is not None:
             out = out + bias.astype(dtype)
         return out

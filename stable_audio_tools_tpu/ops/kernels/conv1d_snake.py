@@ -120,6 +120,146 @@ def _pad_rows(x, lo, total):
     )
 
 
+# ---------------------------------------------------------------------------
+# Weight gradient: dW[j,ci,co] = sum_{b,i} snake(x)[b, j*d + i, ci] dy[b,i,co]
+#
+# The tap-sliced matmul form (ops/conv.py::_conv1d_s1_bwd) re-reads the
+# activation (and dy) from HBM once PER TAP — k=7 means 14 full passes, and
+# the snake path pays an extra recompute pass; measured 33.9 TF/s in the
+# GAN-step trace. This kernel streams x and dy through VMEM ONCE and keeps
+# the whole [k, Ci, CoB] f32 accumulator resident across the (batch, length)
+# grid, evaluating the snake on the VPU under the MXU taps. dbias falls out
+# of the same dy block for free.
+# ---------------------------------------------------------------------------
+
+# f32 accumulator budget; Co is block-split (CoB) until the accumulator fits
+_MAX_ACC_BYTES = 6 * 1024 * 1024
+
+
+def _pick_cob(k: int, ci: int, co: int) -> Optional[int]:
+    cob = co
+    while cob >= 128 and k * ci * cob * 4 > _MAX_ACC_BYTES:
+        cob //= 2
+    if cob < 128 or co % cob:
+        return None
+    return cob
+
+
+def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d,
+                 a=None, binv=None):
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    xw = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)
+    if a is not None:
+        sx = _snake_f32(xw.astype(jnp.float32), a, binv).astype(x0_ref.dtype)
+    else:
+        sx = xw
+    dy = dy_ref[0]
+    bl = dy_ref.shape[1]
+    for j in range(k):
+        dw_ref[j] += jax.lax.dot_general(
+            jax.lax.slice_in_dim(sx, j * d, j * d + bl, axis=0),
+            dy,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    db_ref[0] += jnp.sum(dy.astype(jnp.float32), axis=0)
+
+
+def _bwd_dw_kernel_snake(x0_ref, x1_ref, dy_ref, a_ref, b_ref, dw_ref,
+                         db_ref, *, k, d):
+    a = a_ref[...].astype(jnp.float32)
+    binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
+    _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, k=k, d=d,
+                 a=a, binv=binv)
+
+
+def _bwd_dw_kernel_plain(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d):
+    _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, k=k, d=d)
+
+
+def _wgrad_bl(ci: int) -> int:
+    # halve the stream block for wide channels to bound the f32 snake temp
+    return _BL if ci <= 512 else _BL // 2
+
+
+def wgrad_kernel_supported(k: int, ci: int, co: int, d: int,
+                           l_out: int) -> bool:
+    if not _ENABLED or ci % 128 or co % 128:
+        return False
+    if (k - 1) * d > _wgrad_bl(ci):
+        return False
+    return _pick_cob(k, ci, co) is not None and l_out >= 8
+
+
+def _run_bwd_dw(dy, x, kernel_shape, pre_snake, pad_lo, pad_hi, d, interpret):
+    """Returns (dW f32 [k, Ci, Co], dbias f32 [Co])."""
+    k, Ci, Co = kernel_shape
+    B, L, _ = x.shape
+    Lout = dy.shape[1]
+    bl = _wgrad_bl(Ci)
+    cob = _pick_cob(k, Ci, Co)
+    nblk = pl.cdiv(Lout, bl)
+    xp = _pad_rows(x, pad_lo, (nblk + 1) * bl)
+    dyp = _pad_rows(dy, 0, nblk * bl)
+    x_specs = [
+        pl.BlockSpec((1, bl, Ci), lambda co, b, i: (b, i, 0)),
+        pl.BlockSpec((1, bl, Ci), lambda co, b, i: (b, i + 1, 0)),
+    ]
+    dy_spec = pl.BlockSpec((1, bl, cob), lambda co, b, i: (b, i, co))
+    out_specs = [
+        pl.BlockSpec((k, Ci, cob), lambda co, b, i: (0, 0, co)),
+        pl.BlockSpec((1, cob), lambda co, b, i: (0, co)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((k, Ci, Co), jnp.float32),
+        jax.ShapeDtypeStruct((1, Co), jnp.float32),
+    ]
+    if pre_snake is not None:
+        alpha, beta = pre_snake
+        dw, db = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_snake, k=k, d=d),
+            grid=(Co // cob, B, nblk),
+            in_specs=x_specs + [
+                dy_spec,
+                pl.BlockSpec((1, Ci), lambda co, b, i: (0, 0)),
+                pl.BlockSpec((1, Ci), lambda co, b, i: (0, 0)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xp, xp, dyp, alpha.reshape(1, Ci), beta.reshape(1, Ci))
+    else:
+        dw, db = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_plain, k=k, d=d),
+            grid=(Co // cob, B, nblk),
+            in_specs=x_specs + [dy_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xp, xp, dyp)
+    return dw, db[0]
+
+
+def conv1d_wgrad(dy, x, kernel_shape, pad_lo, pad_hi, dilation,
+                 interpret=None):
+    """Plain (no snake) stride-1 conv1d weight gradient, one-pass Pallas.
+
+    Drop-in for the tap-sliced dW in ops/conv.py::_conv1d_s1_bwd when
+    `wgrad_kernel_supported` holds. Returns dW f32 [k, Ci, Co].
+    """
+    if interpret is None:
+        interpret = _interpret()
+    dw, _ = _run_bwd_dw(dy, x, kernel_shape, None, pad_lo, pad_hi, dilation,
+                        interpret)
+    return dw
+
+
 def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
     B, L, Ci = x.shape
     k, _, Co = kernel.shape
@@ -208,8 +348,15 @@ def _snake_conv1d_bwd(pad_lo, pad_hi, dilation, res, dy):
     k, Ci, Co = kernel.shape
     dx, dalpha, dbeta = _run_bwd_dx(
         dy, x, kernel, alpha, beta, pad_lo, pad_hi, dilation, _interpret())
-    # dW: recompute snake(x) (one fused VMEM pass) and contract each tap
-    # against dy on the long axis — the fast weight-gradient form
+    if wgrad_kernel_supported(k, Ci, Co, dilation, dy.shape[1]):
+        # one-pass streaming wgrad: snake recomputed in-VMEM, [k,Ci,CoB]
+        # f32 accumulator resident across the (batch, length) grid
+        dW, db = _run_bwd_dw(dy, x, (k, Ci, Co), (alpha, beta),
+                             pad_lo, pad_hi, dilation, _interpret())
+        return (dx, dW.astype(kernel.dtype), db.astype(dy.dtype),
+                dalpha.astype(alpha.dtype), dbeta.astype(beta.dtype))
+    # fallback: recompute snake(x) (one fused VMEM pass) and contract each
+    # tap against dy on the long axis — the tap-sliced weight-gradient form
     B, L, _ = x.shape
     a2 = alpha.reshape(1, Ci).astype(jnp.float32)
     b2 = beta.reshape(1, Ci).astype(jnp.float32)

@@ -90,6 +90,50 @@ def test_conv_transpose1d_pre_snake_plumbing(stride):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("k,d,Co", [(7, 1, 128), (7, 3, 256), (1, 1, 128)])
+def test_plain_wgrad_kernel_matches_tap_slice(k, d, Co):
+    """conv1d_wgrad (streaming Pallas, interpret) == tap-sliced dW."""
+    from stable_audio_tools_tpu.ops.kernels.conv1d_snake import conv1d_wgrad
+
+    rng = np.random.default_rng(4)
+    B, L, Ci = 2, 700, 128
+    pad = (d * (k - 1)) // 2
+    x = jnp.asarray(rng.standard_normal((B, L, Ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, Ci, Co)) * 0.05, jnp.float32)
+    dy_len = L + 2 * pad - (d * (k - 1) + 1) + 1
+    dy = jnp.asarray(rng.standard_normal((B, dy_len, Co)), jnp.float32)
+
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    ref = jnp.stack([
+        jax.lax.dot_general(
+            jax.lax.dynamic_slice_in_dim(xp, j * d, dy_len, 1), dy,
+            (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for j in range(k)
+    ], 0)
+    got = conv1d_wgrad(dy, x, (k, Ci, Co), pad, pad, d, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-12
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=1e-5)
+
+
+def test_wgrad_co_blocking(monkeypatch):
+    """Accumulator Co-splitting (CoB < Co) gives identical results."""
+    import stable_audio_tools_tpu.ops.kernels.conv1d_snake as m
+
+    rng = np.random.default_rng(5)
+    B, L, Ci, Co, k = 1, 300, 128, 256, 7
+    x = jnp.asarray(rng.standard_normal((B, L, Ci)), jnp.float32)
+    dy_len = L + 6 - 6
+    dy = jnp.asarray(rng.standard_normal((B, dy_len, Co)), jnp.float32)
+    full = m.conv1d_wgrad(dy, x, (k, Ci, Co), 3, 3, 1, interpret=True)
+    monkeypatch.setattr(m, "_MAX_ACC_BYTES", k * Ci * 128 * 4)
+    assert m._pick_cob(k, Ci, Co) == 128
+    split = m.conv1d_wgrad(dy, x, (k, Ci, Co), 3, 3, 1, interpret=True)
+    # differing matmul lane widths reorder the f32 reduction
+    scale = float(jnp.max(jnp.abs(full))) + 1e-12
+    np.testing.assert_allclose(split, full, atol=1e-5 * scale, rtol=1e-5)
+
+
 def test_module_param_paths_unchanged():
     """act_then_conv keeps the exact param tree of act(x); conv(x)."""
     from stable_audio_tools_tpu.models.autoencoders import (

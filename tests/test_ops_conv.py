@@ -199,3 +199,36 @@ def test_snake_fused_pallas_matches_jnp():
     for f, r in zip(gf(x, a, b), gr(x, a, b)):
         np.testing.assert_allclose(np.asarray(f), np.asarray(r),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_small_cin_custom_vjp_matches_xla():
+    """Restructured small-Ci dgrad (matmul + overlap-add) == XLA autodiff."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from stable_audio_tools_tpu.ops.conv import (
+        _conv2d_raw_nhwc, _conv2d_small_cin)
+
+    rng = np.random.RandomState(0)
+    for (kh, kw, dil, pads) in [(3, 9, 1, ((1, 1), (4, 4))),
+                                (3, 5, 2, ((2, 2), (1, 3)))]:
+        x = jnp.asarray(rng.randn(2, 23, 17, 8), jnp.float32)
+        k = jnp.asarray(rng.randn(kh, kw, 8, 128) * 0.1, jnp.float32)
+        ct_shape = _conv2d_raw_nhwc(x, k, pads, dil).shape
+        ct = jnp.asarray(rng.randn(*ct_shape), jnp.float32)
+
+        def loss_ref(x, k):
+            return jnp.sum(_conv2d_raw_nhwc(x, k, pads, dil) * ct)
+
+        def loss_got(x, k):
+            return jnp.sum(_conv2d_small_cin(x, k, pads, dil) * ct)
+
+        np.testing.assert_allclose(
+            _conv2d_small_cin(x, k, pads, dil),
+            _conv2d_raw_nhwc(x, k, pads, dil), rtol=1e-5, atol=1e-5)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        gg = jax.grad(loss_got, argnums=(0, 1))(x, k)
+        for name, a, b in zip(["dx", "dW"], gr, gg):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-12
+            np.testing.assert_allclose(
+                b, a, atol=2e-5 * scale, rtol=1e-4, err_msg=name)
