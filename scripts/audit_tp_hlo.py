@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -90,33 +89,10 @@ def main():
         with open(args.dump, "w") as f:
             f.write(hlo)
 
-    dt_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
-                "f64": 8, "s8": 1, "u8": 1}
-    counts: dict = {}
-    total_bytes = 0
-    seen = set()
-    # Count unique collective DEFINITIONS only: anchor at line start, match
-    # the full %name (earlier revisions used \w+ which cannot match
-    # '%all-reduce.72', so the dedup never fired and the schedule section's
-    # re-listing double-counted every collective — the source of the bogus
-    # "4.7 all-reduces/layer" figure in round 2's multichip doc).
-    for m in re.finditer(
-        r"^\s*(%[\w.\-]+) = (\w+)\[([\d,]*)\][^=]*?"
-        r"(all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)"
-        r"\(", hlo, re.M,
-    ):
-        dtype, shape_s, op = m.group(2), m.group(3), m.group(4)
-        if m.group(1) in seen:
-            continue
-        seen.add(m.group(1))
-        n = 1
-        for d in filter(None, shape_s.split(",")):
-            n *= int(d)
-        b = n * dt_bytes.get(dtype, 4)
-        counts.setdefault(op, [0, 0])
-        counts[op][0] += 1
-        counts[op][1] += b
-        total_bytes += b
+    from stable_audio_tools_tpu.parallel.hlo_audit import count_collectives
+
+    counts = count_collectives(hlo)
+    total_bytes = sum(b for _, b in counts.values())
 
     print(f"DiT {dims['embed_dim']}x{dims['depth']} seq={args.seq} "
           f"params={n_params/1e6:.0f}M TP={args.tp}")

@@ -307,6 +307,12 @@ def _hub_reachable(timeout: float = 2.0) -> bool:
 
     if os.environ.get("HF_HUB_OFFLINE") or os.environ.get("TRANSFORMERS_OFFLINE"):
         return False
+    # A direct TCP probe ignores HTTP(S)_PROXY; in proxy-only networks it
+    # would report offline and force local_files_only despite working
+    # connectivity. Trust the proxy config and let transformers try.
+    for var in ("HTTPS_PROXY", "https_proxy", "HTTP_PROXY", "http_proxy"):
+        if os.environ.get(var):
+            return True
     try:
         with socket.create_connection(("huggingface.co", 443), timeout=timeout):
             return True
@@ -439,8 +445,10 @@ class T5Conditioner(HostConditioner):
         # inits under default_device(cpu), which COMMITS the params to CPU,
         # and device_put without a device leaves committed arrays in place —
         # every encode then re-streams the full tower through the axon
-        # tunnel (~15 s/call measured for t5-base).
-        params = jax.device_put(self._t5.params, jax.devices()[0])
+        # tunnel (~15 s/call measured for t5-base). local_devices()[0], not
+        # devices()[0]: in a multi-process run the first GLOBAL device may
+        # not be addressable from this process.
+        params = jax.device_put(self._t5.params, jax.local_devices()[0])
         return lambda ids, mask: jitted(params, ids, mask)
 
     def load_torch_state_dict(self, sd, prefix: str):

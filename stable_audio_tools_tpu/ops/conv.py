@@ -501,9 +501,12 @@ def _conv2d_small_cin_bwd(padding, h_dilation, res, dy):
         dy.reshape(-1, Co), kr, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(B, Ho, Wo, kh, kw, Ci)
-    t = t.astype(dy.dtype)
+    # Keep the per-tap planes and the kh*kw overlap-add in f32: casting to
+    # dy.dtype here would round per tap and accumulate up to kh*kw adds in
+    # bf16 — a numerics regression vs XLA's f32-accumulated dgrad. One cast
+    # to x.dtype after the final slice instead.
     dxp = jnp.zeros(
-        (B, Ho + (kh - 1) * h_dilation, Wo + kw - 1, Ci), dy.dtype)
+        (B, Ho + (kh - 1) * h_dilation, Wo + kw - 1, Ci), jnp.float32)
     for u in range(kh):
         for v in range(kw):
             dxp = dxp.at[:, u * h_dilation:u * h_dilation + Ho,

@@ -59,11 +59,26 @@ def _snake_f32(xf, a, binv):
     return xf + binv * s2
 
 
-def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d):
+def _snake_window(x0_ref, x1_ref, a, binv, pad_lo, n_x, blk_id):
+    """snake(x) over the concatenated [2*bl] block window, with rows outside
+    the valid x range [pad_lo, pad_lo+n_x) (conv zero padding + block
+    round-up) forced to EXACT zero. Unfused, padding is applied after the
+    activation and contributes exactly 0; the fast-sin2 polynomial at x=0 is
+    only ~0 (≈4e-11·binv), which diverges at boundary taps if beta is tiny."""
+    xw = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0).astype(jnp.float32)
+    sx = _snake_f32(xw, a, binv)
+    bl = x0_ref.shape[1]
+    row = (jax.lax.broadcasted_iota(jnp.int32, xw.shape, 0) + blk_id * bl)
+    live = (row >= pad_lo) & (row < pad_lo + n_x)
+    return jnp.where(live, sx, jnp.float32(0.0)).astype(x0_ref.dtype)
+
+
+def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d,
+                pad_lo, n_x):
     a = a_ref[...].astype(jnp.float32)
     binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
-    xw = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0).astype(jnp.float32)
-    sx = _snake_f32(xw, a, binv).astype(x0_ref.dtype)
+    sx = _snake_window(x0_ref, x1_ref, a, binv, pad_lo, n_x,
+                       pl.program_id(1))
     bl = x0_ref.shape[1]
     acc = jnp.zeros((bl, w_ref.shape[-1]), jnp.float32)
     for j in range(k):
@@ -146,7 +161,7 @@ def _pick_cob(k: int, ci: int, co: int) -> Optional[int]:
 
 
 def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d,
-                 a=None, binv=None):
+                 a=None, binv=None, pad_lo=0, n_x=0):
     first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
     @pl.when(first)
@@ -154,11 +169,12 @@ def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d,
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
         db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
-    xw = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)
     if a is not None:
-        sx = _snake_f32(xw.astype(jnp.float32), a, binv).astype(x0_ref.dtype)
+        # same exact-zero padding-row mask as the forward (see _snake_window)
+        sx = _snake_window(x0_ref, x1_ref, a, binv, pad_lo, n_x,
+                           pl.program_id(2))
     else:
-        sx = xw
+        sx = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)
     dy = dy_ref[0]
     bl = dy_ref.shape[1]
     for j in range(k):
@@ -172,11 +188,11 @@ def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d,
 
 
 def _bwd_dw_kernel_snake(x0_ref, x1_ref, dy_ref, a_ref, b_ref, dw_ref,
-                         db_ref, *, k, d):
+                         db_ref, *, k, d, pad_lo, n_x):
     a = a_ref[...].astype(jnp.float32)
     binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
     _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, k=k, d=d,
-                 a=a, binv=binv)
+                 a=a, binv=binv, pad_lo=pad_lo, n_x=n_x)
 
 
 def _bwd_dw_kernel_plain(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d):
@@ -223,7 +239,8 @@ def _run_bwd_dw(dy, x, kernel_shape, pre_snake, pad_lo, pad_hi, d, interpret):
     if pre_snake is not None:
         alpha, beta = pre_snake
         dw, db = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel_snake, k=k, d=d),
+            functools.partial(_bwd_dw_kernel_snake, k=k, d=d,
+                              pad_lo=pad_lo, n_x=L),
             grid=(Co // cob, B, nblk),
             in_specs=x_specs + [
                 dy_spec,
@@ -268,7 +285,7 @@ def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
     nblk = pl.cdiv(Lout, _BL)
     xp = _pad_rows(x, pad_lo, (nblk + 1) * _BL)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, d=d),
+        functools.partial(_fwd_kernel, k=k, d=d, pad_lo=pad_lo, n_x=L),
         grid=(B, nblk),
         in_specs=[
             pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i, 0)),

@@ -160,3 +160,47 @@ def test_module_param_paths_unchanged():
         for p, _ in jax.tree_util.tree_flatten_with_path(dparams)[0])
     assert any("block_0" in p and "up" in p for p in dpaths)
     assert any("SnakeBeta" in p and "beta" in p for p in dpaths)
+
+
+def test_tiny_beta_padding_rows_exact_zero():
+    """Snake evaluated on the conv's zero padding must contribute EXACTLY 0.
+
+    The fast-sin2 polynomial at x=0 is only ~4e-11, amplified by
+    1/(beta+1e-9); with beta ~ 1e-9 that is ~0.02 per padded tap. Unfused,
+    padding is applied AFTER the activation and contributes exact 0; the
+    fused kernels mask padding rows (advisor round-4 finding). x = 0 input
+    makes valid-row contributions identical in both paths (same polynomial),
+    so any boundary-tap difference isolates the padding rows."""
+    from stable_audio_tools_tpu.ops.activations import _snake_fast
+
+    # reference = polynomial snake (what the fused kernel computes on valid
+    # rows) with padding applied AFTER the activation -> exact-0 pad rows
+    def snake_poly(x, a, be):
+        return _snake_fast(x, a, be)
+
+    rng = np.random.default_rng(7)
+    _, w, _, alpha, _ = _mk(rng, 1, 300, 128, 128, 7)
+    x = jnp.zeros((1, 300, 128), jnp.float32)
+    b = jnp.zeros((128,), jnp.float32)
+    beta = jnp.full((128,), 1e-9, jnp.float32)
+    pad = 3
+    ref = conv1d(snake_poly(x, alpha, beta), w, b, padding=pad)
+    got = snake_conv1d(x, w, b, alpha, beta, pad, pad, 1)
+    # pre-fix, position 0 carried ~3 rows x 128 ch x 0.02 x w ~ 0.4 of
+    # spurious padding signal; interior scale here is ~1
+    np.testing.assert_allclose(got[:, :8], ref[:, :8], atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(got[:, -8:], ref[:, -8:], atol=1e-3, rtol=1e-5)
+
+    # wgrad kernel applies the same mask: dW must match the unfused dW
+    dy = jnp.asarray(rng.standard_normal((1, 300, 128)), jnp.float32)
+
+    def loss_got(w_):
+        return jnp.sum(dy * snake_conv1d(x, w_, b, alpha, beta, pad, pad, 1))
+
+    def loss_ref(w_):
+        return jnp.sum(dy * conv1d(snake_poly(x, alpha, beta), w_, b, padding=pad))
+
+    gw = jax.grad(loss_got)(w)
+    rw = jax.grad(loss_ref)(w)
+    scale = float(jnp.max(jnp.abs(rw))) + 1e-12
+    np.testing.assert_allclose(gw, rw, atol=1e-4 * scale, rtol=1e-4)

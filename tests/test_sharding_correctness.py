@@ -305,7 +305,14 @@ def test_ae_gan_dp_mesh_matches_single_device():
             err_msg=f"disc log {k}")
     # params agree after the pair, up to the measured single-device
     # reduction-order noise floor (see docstring); tight floor of 5e-5
-    # still catches genuine DP-path divergence (wrong psum scale = O(1))
+    # still catches genuine DP-path divergence (wrong psum scale = O(1)).
+    # The measured sensitivity itself must stay below a FIXED ceiling
+    # (2.5x the ~2e-3 = 2*lr historical value) so the self-calibrating
+    # bound can't silently inflate and mask a real regression.
+    assert noise_floor < 5e-3, (
+        f"single-device batch-shuffle sensitivity {noise_floor:.2e} exceeds "
+        "the 5e-3 ceiling — the self-calibrating mesh tolerance is no "
+        "longer trustworthy; investigate the step's reduction numerics")
     atol = max(noise_floor, 5e-5)
     l1 = jax.tree_util.tree_leaves(s1.gen_params)
     l8 = jax.tree_util.tree_leaves(s8.gen_params)
@@ -518,6 +525,12 @@ def test_arc_dp_mesh_matches_single_device():
         np.testing.assert_allclose(
             float(disc1[k]), float(disc8[k]), rtol=2e-4, atol=2e-5,
             err_msg=f"disc log {k}")
+    # fixed ceiling on the measured sensitivity (2.5x the ~2e-4 = 2*lr
+    # historical value) so the self-calibrating bound can't silently inflate
+    assert noise_floor < 5e-4, (
+        f"single-device batch-shuffle sensitivity {noise_floor:.2e} exceeds "
+        "the 5e-4 ceiling — the self-calibrating mesh tolerance is no "
+        "longer trustworthy; investigate the step's reduction numerics")
     atol = max(noise_floor, 5e-5)
     for name in ("gen_params", "disc_params", "head_params"):
         for a, b in zip(jax.tree_util.tree_leaves(getattr(s1, name)),
