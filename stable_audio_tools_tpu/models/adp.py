@@ -7,7 +7,9 @@ Transformer1d with cross-attention (:476-635), Downsample/Upsample/Bottleneck
 blocks (:687-984), UNet1d with per-level skip lists (:986-1236), FixedEmbedding
 learned null embedding + UNetCFG1d batch-CFG with rescale (:1238-1384),
 UNetNCCA1d noise-aug channel conditioning (:1385-1432), UNetAll1d (CFG+NCCA,
-:1434-1441), and the XUNet1d dispatch (:1443-1453).
+:1434-1441), the XUNet1d dispatch (:1443-1453), and the spectral-domain
+use_stft/use_stft_context path with the STFT encode1d/decode1d helper
+(:1001-1080, 1169, 1206, 1482-1562).
 
 NLC internally; public forward takes/returns [B, C, T].
 """
@@ -419,6 +421,91 @@ class BottleneckBlock1d(nn.Module):
         return x
 
 
+def _closest_power_2(x: float) -> int:
+    """reference adp.py closest_power_2: nearest power of two by log distance."""
+    lo = 2 ** math.floor(math.log2(x))
+    hi = 2 ** math.ceil(math.log2(x))
+    return lo if (math.log2(x) - math.log2(lo)) < (math.log2(hi) - math.log2(x)) else hi
+
+
+class ADPSTFT:
+    """Spectral-domain helper: torch stft/istft parity (reference
+    adp.py:1482-1562 STFT). Stateless; encode1d/decode1d map
+    [B, C, T] <-> [B, C*2*bins, frames] with torch.stft(normalized=True)
+    semantics. use_complex=False packs (magnitude, phase), True (real, imag).
+
+    The forward runs as one strided MXU conv against the windowed DFT basis
+    (ops/stft.py::stft_reim_conv); the inverse as one matmul + shifted-add
+    overlap-add with the COLA envelope divided out at trace time
+    (ops/stft.py::istft)."""
+
+    def __init__(self, num_fft: int = 1023, hop_length: int = 256,
+                 window_length: tp.Optional[int] = None,
+                 length: tp.Optional[int] = None, use_complex: bool = False):
+        self.num_fft = num_fft
+        self.hop_length = hop_length if hop_length is not None else num_fft // 4
+        self.window_length = window_length or num_fft
+        self.length = length
+        self.use_complex = use_complex
+        self.bins = num_fft // 2 + 1
+
+    @property
+    def out_channels_mult(self) -> int:
+        """stft_channels in the reference's bookkeeping (adp.py:1076)."""
+        return 2 * self.bins
+
+    def encode1d(self, wave: jax.Array) -> jax.Array:
+        from ..ops.stft import stft_reim_conv
+
+        B, C, T = wave.shape
+        reim = stft_reim_conv(wave, self.num_fft, self.hop_length,
+                              self.window_length, center=True)
+        reim = reim * (self.num_fft ** -0.5)  # torch normalized=True
+        re, im = reim[..., :self.bins], reim[..., self.bins:]
+        # DC (and Nyquist, even n_fft) bins are exactly real in rfft; the
+        # conv-DFT basis leaves ~1e-7 imag noise there, which flips
+        # atan2-phase between +-pi when re < 0 — zero them (exact math,
+        # and torch.angle parity at the branch point)
+        real_bins = np.zeros(self.bins, bool)
+        real_bins[0] = True
+        if self.num_fft % 2 == 0:
+            real_bins[-1] = True
+        # where (not multiply): +0.0 regardless of the noise sign, so
+        # atan2 gives torch's +pi on negative-real bins
+        im = jnp.where(jnp.asarray(real_bins), 0.0, im)
+        if self.use_complex:
+            a, b = re, im
+        else:
+            a = jnp.sqrt(re * re + im * im)
+            b = jnp.arctan2(im, re)
+        # [B, C, frames, bins] -> [B, (C bins), frames]; stacked a then b
+        def pack(s):
+            return jnp.swapaxes(s, 2, 3).reshape(B, C * self.bins, -1)
+
+        return jnp.concatenate([pack(a), pack(b)], axis=1)
+
+    def decode1d(self, z: jax.Array, length: tp.Optional[int] = None) -> jax.Array:
+        from ..ops.stft import istft
+
+        B, C2, frames = z.shape
+        C = C2 // (2 * self.bins)
+        a, b = jnp.split(z, 2, axis=1)
+
+        def unpack(s):
+            return jnp.swapaxes(s.reshape(B, C, self.bins, frames), 2, 3)
+
+        a, b = unpack(a), unpack(b)
+        if self.use_complex:
+            re, im = a, b
+        else:
+            re, im = a * jnp.cos(b), a * jnp.sin(b)
+        out_len = length or self.length or _closest_power_2(
+            frames * self.hop_length)
+        return istft(jnp.concatenate([re, im], axis=-1), self.num_fft,
+                     self.hop_length, self.window_length, length=out_len,
+                     center=True, torch_normalized=True)
+
+
 class UNet1d(nn.Module):
     in_channels: int
     channels: int
@@ -440,6 +527,22 @@ class UNet1d(nn.Module):
     attention_heads: tp.Optional[int] = None
     attention_features: tp.Optional[int] = None
     attention_multiplier: int = 2
+    # spectral-domain path (reference adp.py:1001-1080): the UNet runs on
+    # stacked STFT channels; stft_* mirror the reference's stft_ kwargs
+    use_stft: bool = False
+    use_stft_context: bool = False
+    stft_num_fft: tp.Optional[int] = None
+    stft_hop_length: int = 256
+    stft_window_length: tp.Optional[int] = None
+    stft_length: tp.Optional[int] = None
+    stft_use_complex: bool = False
+
+    def _stft(self) -> "ADPSTFT":
+        assert self.stft_num_fft is not None, \
+            "stft_num_fft required if use_stft=True"
+        return ADPSTFT(self.stft_num_fft, self.stft_hop_length,
+                       self.stft_window_length, self.stft_length,
+                       self.stft_use_complex)
 
     def _mapping_features(self):
         if self.use_context_time or self.context_features is not None:
@@ -456,16 +559,30 @@ class UNet1d(nn.Module):
         )
         mapping_features = self._mapping_features()
 
-        xl = jnp.swapaxes(x, 1, 2)  # NLC
-        channels_nlc = None
-        if channels_list:
-            channels_nlc = [jnp.swapaxes(c, 1, 2) for c in channels_list]
+        stft = None
+        T_in = x.shape[-1]
+        if self.use_stft:
+            stft = self._stft()
+            x = stft.encode1d(x)
+
         chan_ids = {}
         cid = 0
         for i, c in enumerate(ctx_channels):
             if c > 0:
                 chan_ids[i] = cid
                 cid += 1
+
+        xl = jnp.swapaxes(x, 1, 2)  # NLC
+        channels_nlc = None
+        if channels_list:
+            channels_list = list(channels_list)
+            if self.use_stft_context and 0 in chan_ids:
+                # layer-0 context joins x in the spectral domain
+                # (reference adp.py:1169)
+                ctx_stft = stft if stft is not None else self._stft()
+                channels_list[chan_ids[0]] = ctx_stft.encode1d(
+                    channels_list[chan_ids[0]])
+            channels_nlc = [jnp.swapaxes(c, 1, 2) for c in channels_list]
 
         if channels_nlc is not None and 0 in chan_ids:
             xl = jnp.concatenate([xl, channels_nlc[chan_ids[0]]], axis=-1)
@@ -553,10 +670,22 @@ class UNet1d(nn.Module):
 
         xl = xl + skips_list.pop()
         out_ch = self.out_channels or self.in_channels
+        if stft is not None:
+            # reference bookkeeping: out_channels *= stft_channels
+            # (adp.py:1078)
+            out_ch *= stft.out_channels_mult
         xl = Unpatcher(out_ch, self.patch_size, mapping_features, name="to_out")(
             xl, mapping, causal=causal
         )
-        return jnp.swapaxes(xl, 1, 2)
+        out = jnp.swapaxes(xl, 1, 2)
+        if stft is not None:
+            # decode back to the waveform; the input length is static under
+            # jit, so pass it rather than the reference's
+            # closest_power_2(frames*hop) (identical whenever that working
+            # assumption — power-of-two sample_size — holds, and shape-safe
+            # otherwise; stft_length overrides both)
+            out = stft.decode1d(out, length=self.stft_length or T_in)
+        return out
 
     def __call__(self, *args, **kwargs):
         return self.unet_forward(*args, **kwargs)
@@ -633,6 +762,13 @@ class UNetCFG1d(nn.Module):
     context_embedding_max_length: int = 79
     use_xattn_time: bool = False
     use_ncca: bool = False
+    use_stft: bool = False
+    use_stft_context: bool = False
+    stft_num_fft: tp.Optional[int] = None
+    stft_hop_length: int = 256
+    stft_window_length: tp.Optional[int] = None
+    stft_length: tp.Optional[int] = None
+    stft_use_complex: bool = False
 
     def _make_unet(self):
         return UNet1d(
@@ -656,6 +792,13 @@ class UNetCFG1d(nn.Module):
             attention_heads=self.attention_heads,
             attention_features=self.attention_features,
             attention_multiplier=self.attention_multiplier,
+            use_stft=self.use_stft,
+            use_stft_context=self.use_stft_context,
+            stft_num_fft=self.stft_num_fft,
+            stft_hop_length=self.stft_hop_length,
+            stft_window_length=self.stft_window_length,
+            stft_length=self.stft_length,
+            stft_use_complex=self.stft_use_complex,
             name="unet",
         )
 
@@ -794,6 +937,13 @@ class UNetNCCA1d(nn.Module):
     attention_heads: tp.Optional[int] = None
     attention_features: tp.Optional[int] = None
     attention_multiplier: int = 2
+    use_stft: bool = False
+    use_stft_context: bool = False
+    stft_num_fft: tp.Optional[int] = None
+    stft_hop_length: int = 256
+    stft_window_length: tp.Optional[int] = None
+    stft_length: tp.Optional[int] = None
+    stft_use_complex: bool = False
 
     @nn.compact
     def __call__(self, x, time, *, channels_list, channels_augmentation=False,
@@ -825,6 +975,13 @@ class UNetNCCA1d(nn.Module):
             attention_heads=self.attention_heads,
             attention_features=self.attention_features,
             attention_multiplier=self.attention_multiplier,
+            use_stft=self.use_stft,
+            use_stft_context=self.use_stft_context,
+            stft_num_fft=self.stft_num_fft,
+            stft_hop_length=self.stft_hop_length,
+            stft_window_length=self.stft_window_length,
+            stft_length=self.stft_length,
+            stft_use_complex=self.stft_use_complex,
             name="unet",
         )
         return unet(

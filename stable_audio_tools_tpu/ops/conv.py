@@ -467,21 +467,49 @@ def _conv2d_raw_nhwc(x, kernel, padding, h_dilation):
 
 @_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _conv2d_small_cin(x, kernel, padding, h_dilation):
-    """Stride-1 NHWC conv2d with a restructured input gradient for small Ci.
+    """Stride-1 NHWC conv2d restructured for small Ci (im2col + matmuls).
 
-    XLA lowers the dgrad of a Ci-channel conv as a conv with Ci OUTPUT
-    lanes — at the discriminators' first layer (packed Ci=8) that is 8/128
-    MXU lanes (measured ~4 TF/s, ~5 ms of the GAN-step pair). Here dx is
-    instead one full-width matmul dy·K^T over Co producing per-tap planes
-    [B,Ho,Wo,kh·kw·Ci], then an overlap-add of kh·kw statically-shifted
-    slices (pure elementwise, HBM-speed). Exact: same contractions, f32
-    accumulation in the matmul.
+    XLA lowers both the forward and the dgrad of a Ci-channel conv with Ci
+    as the contraction/output lane dim — at the discriminators' first layer
+    (packed Ci=8) that is 8/128 MXU lanes (forward measured 4.8 TF/s,
+    ~17 ms of the GAN-step pair in the round-5 trace). Instead:
+
+    - forward: kh·kw statically-shifted slices concat into im2col patches
+      [B,Ho,Wo,kh·kw·Ci] (HBM-speed), then ONE full-width matmul vs
+      kernel [kh·kw·Ci, Co];
+    - dW: the same patches contracted against dy — M = kh·kw·Ci taps wide;
+    - dx: one matmul dy·K^T over Co producing per-tap planes, then an
+      overlap-add of statically-padded slices (fused adds, no
+      dynamic-update-slice serialization).
+
+    Exact: same contractions, f32 accumulation in every matmul.
     """
-    return _conv2d_raw_nhwc(x, kernel, padding, h_dilation)
+    patches, _, _ = _im2col_patches(x, kernel.shape, padding, h_dilation)
+    kh, kw, Ci, Co = kernel.shape
+    out = jax.lax.dot_general(
+        patches, kernel.reshape(kh * kw * Ci, Co),
+        (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
+def _im2col_patches(x, kshape, padding, h_dilation):
+    kh, kw, Ci, _ = kshape
+    (pt_lo, pt_hi), (pl_lo, pl_hi) = padding
+    xp = jnp.pad(x, ((0, 0), (pt_lo, pt_hi), (pl_lo, pl_hi), (0, 0)))
+    B, Hp, Wp, _ = xp.shape
+    Ho = Hp - (kh - 1) * h_dilation
+    Wo = Wp - (kw - 1)
+    slabs = [
+        jax.lax.slice(xp, (0, u * h_dilation, v, 0),
+                      (B, u * h_dilation + Ho, v + Wo, Ci))
+        for u in range(kh) for v in range(kw)
+    ]
+    return jnp.concatenate(slabs, axis=-1), Ho, Wo
 
 
 def _conv2d_small_cin_fwd(x, kernel, padding, h_dilation):
-    return _conv2d_raw_nhwc(x, kernel, padding, h_dilation), (x, kernel)
+    return _conv2d_small_cin(x, kernel, padding, h_dilation), (x, kernel)
 
 
 def _conv2d_small_cin_bwd(padding, h_dilation, res, dy):
@@ -490,10 +518,14 @@ def _conv2d_small_cin_bwd(padding, h_dilation, res, dy):
     (pt_lo, _), (pl_lo, _) = padding
     B, Ho, Wo, _ = dy.shape
     _, Hin, Win, _ = x.shape
-    # dW: XLA's wgrad for this layer is fine (M=kh·kw·Ci taps, N=Co wide)
-    _, pull = jax.vjp(lambda kk: _conv2d_raw_nhwc(x, kk, padding, h_dilation),
-                      kernel)
-    dW = pull(dy)[0]
+    # dW: rebuild the im2col patches (cheap slices; saving them would make
+    # the residual kh*kw times the activation) and contract against dy —
+    # full-width M = kh*kw*Ci instead of XLA's Ci-lane wgrad
+    patches, _, _ = _im2col_patches(x, kernel.shape, padding, h_dilation)
+    dW = jax.lax.dot_general(
+        patches.reshape(-1, kh * kw * Ci), dy.reshape(-1, Co),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(kh, kw, Ci, Co).astype(kernel.dtype)
     # dx: T[b,i,j,(u,v,ci)] = sum_co dy[b,i,j,co] K[u,v,ci,co] — one matmul
     # with kh·kw·Ci output lanes instead of Ci
     kr = kernel.reshape(kh * kw * Ci, Co)
@@ -501,16 +533,21 @@ def _conv2d_small_cin_bwd(padding, h_dilation, res, dy):
         dy.reshape(-1, Co), kr, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(B, Ho, Wo, kh, kw, Ci)
-    # Keep the per-tap planes and the kh*kw overlap-add in f32: casting to
-    # dy.dtype here would round per tap and accumulate up to kh*kw adds in
-    # bf16 — a numerics regression vs XLA's f32-accumulated dgrad. One cast
-    # to x.dtype after the final slice instead.
-    dxp = jnp.zeros(
-        (B, Ho + (kh - 1) * h_dilation, Wo + kw - 1, Ci), jnp.float32)
+    # Overlap-add as statically-padded adds (one fusion; the earlier
+    # .at[].add form serialized kh*kw dynamic-update-slices, ~14 ms/pair in
+    # the round-5 trace). Kept in f32: a bf16 per-tap cast would round and
+    # accumulate up to kh*kw adds in bf16 — a numerics regression vs XLA's
+    # f32-accumulated dgrad; one cast to x.dtype after the final slice.
+    Hp = Ho + (kh - 1) * h_dilation
+    Wp = Wo + kw - 1
+    dxp = None
     for u in range(kh):
         for v in range(kw):
-            dxp = dxp.at[:, u * h_dilation:u * h_dilation + Ho,
-                         v:v + Wo, :].add(t[:, :, :, u, v, :])
+            piece = jnp.pad(
+                t[:, :, :, u, v, :],
+                ((0, 0), (u * h_dilation, Hp - Ho - u * h_dilation),
+                 (v, Wp - Wo - v), (0, 0)))
+            dxp = piece if dxp is None else dxp + piece
     dx = jax.lax.slice(
         dxp, (0, pt_lo, pl_lo, 0), (B, pt_lo + Hin, pl_lo + Win, Ci))
     return dx.astype(x.dtype), dW

@@ -348,3 +348,75 @@ def stft_mag_conv_framepacked(
         m.reshape(n_packed * k, bins)[:n_frames] = 1.0
         mask = m.reshape(n_packed, k * bins)
     return mag, n_frames, mask
+
+
+@lru_cache(maxsize=16)
+def _idft_basis(n_fft: int, win_length: int, torch_normalized: bool) -> np.ndarray:
+    """Windowed inverse real-DFT basis [2*bins, n_fft]: per-frame
+    irfft(re + i*im) * window, as ONE matmul. torch_normalized inverts
+    torch.stft(normalized=True)'s n_fft**-0.5 forward scaling."""
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[None, :]
+    b = np.arange(bins)[:, None]
+    ang = 2.0 * np.pi * b * n / n_fft
+    wgt = np.full((bins, 1), 2.0)
+    wgt[0] = 1.0
+    if n_fft % 2 == 0:
+        wgt[-1] = 1.0
+    re = wgt * np.cos(ang) / n_fft
+    im = -wgt * np.sin(ang) / n_fft
+    k = np.concatenate([re, im], axis=0)  # [2*bins, n_fft]
+    win = hann_window(win_length)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        win = np.pad(win, (pad, n_fft - win_length - pad))
+    k = k * win[None, :]
+    if torch_normalized:
+        k = k * np.sqrt(n_fft)
+    return k.astype(np.float32)
+
+
+@lru_cache(maxsize=32)
+def _ola_envelope(n_fft: int, win_length: int, hop: int, n_frames: int,
+                  T: int) -> np.ndarray:
+    """Overlap-added squared-window envelope (torch.istft's denominator)."""
+    win = hann_window(win_length)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        win = np.pad(win, (pad, n_fft - win_length - pad))
+    w2 = win * win
+    env = np.zeros(T, np.float64)
+    for m in range(n_frames):
+        env[m * hop:m * hop + n_fft] += w2
+    return np.maximum(env, 1e-11).astype(np.float32)
+
+
+def istft(reim: jax.Array, n_fft: int, hop_length: int, win_length: int,
+          length: int, center: bool = True,
+          torch_normalized: bool = False) -> jax.Array:
+    """Inverse STFT (torch.istft semantics): [..., frames, 2*bins] re/im
+    (concat channel order, matching stft_reim_conv) → [..., length].
+
+    Per-frame irfft+window is one matmul against the inverse-DFT basis;
+    overlap-add is the adjoint of _frame (pure shifted pad+adds via vjp —
+    no scatters); the squared-window COLA envelope divides out at trace
+    time as a numpy constant. Match: reference adp.py:1525-1549 (STFT.decode).
+    """
+    *lead, n_frames, _ = reim.shape
+    basis = jnp.asarray(_idft_basis(n_fft, win_length, torch_normalized))
+    frames = jax.lax.dot_general(
+        reim.astype(jnp.float32), basis, (((reim.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [..., frames, n_fft]
+    T_full = n_fft + (n_frames - 1) * hop_length
+    zeros = jnp.zeros((*lead, T_full), jnp.float32)
+    _, vjp = jax.vjp(lambda s: _frame(s, n_fft, hop_length), zeros)
+    ola = vjp(frames)[0]
+    ola = ola / jnp.asarray(
+        _ola_envelope(n_fft, win_length, hop_length, n_frames, T_full))
+    start = n_fft // 2 if center else 0
+    out = jax.lax.slice_in_dim(ola, start, start + length, axis=-1)
+    if out.shape[-1] < length:
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
+                      + [(0, length - out.shape[-1])])
+    return out

@@ -1,5 +1,7 @@
 """Offline FAD harness tests (eval/fad.py — BASELINE north-star instrument)."""
 
+import sys
+
 import numpy as np
 import pytest
 
@@ -101,3 +103,45 @@ def test_ae_demo_callback_reports_fad(tmp_path):
     logged = [json.loads(l) for l in open(log_path)]
     fads = [rec["demo/fad_recon"] for rec in logged if "demo/fad_recon" in rec]
     assert fads and np.isfinite(fads[0]), logged
+
+
+def test_fad_embedding_path_matches_committed_fixture():
+    """Regression oracle for the full embedding path (logmel frontend,
+    HTSAT trunk, projection): recompute the fixed-seed fixture clips and
+    compare against tests/fixtures/fad_stats.npz (recorded by
+    scripts/record_fad_fixture.py — VERDICT r4 #4). Any silent numeric
+    change in the path shifts the embeddings and fails here."""
+    import os
+
+    from stable_audio_tools_tpu.eval.fad import (
+        CLAPEmbedder, embedding_stats, frechet_distance)
+
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "fad_stats.npz")
+    fix = np.load(fix_path, allow_pickle=False)
+    assert str(fix["tower"]) in ("random-init-seeded", "clap-ckpt")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from record_fad_fixture import fixture_clips
+
+    ckpt = None
+    if str(fix["tower"]) == "clap-ckpt":
+        from stable_audio_tools_tpu.models.conditioners import (
+            _clap_fixture_path)
+
+        ckpt = _clap_fixture_path()
+        assert ckpt, "fixture recorded with real weights but none present"
+    emb = CLAPEmbedder(clap_ckpt_path=ckpt, allow_random_init=ckpt is None)
+    clips, sr = fixture_clips()
+    e = emb.embed(clips, sr)
+    ref = fix["embeddings"]
+    assert e.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(e, ref, atol=5e-4 * max(scale, 1e-3),
+                               err_msg="embedding path drifted vs fixture")
+    # and the Frechet math itself: distance of the recomputed cloud to the
+    # committed stats must be ~0
+    mu, sigma = embedding_stats(e)
+    fd = frechet_distance(mu, sigma, fix["mu"], fix["sigma"])
+    assert fd < 1e-4, fd
