@@ -307,7 +307,14 @@ def _should_use_nhd(n, h, kv_h, dim_heads, causal, prefix_len, mask,
         # mode) and the mesh shard_map dispatch on the CPU backend
         return False
     main = n - prefix_len
-    return 512 <= main <= 16384
+    # scripts/ab_nhd_step.py round-5, hard sync, one process: at the
+    # SA-Open config (main=1024) NHD measured 33.06 vs 31.38 ms/step —
+    # SLOWER than the transpose+BHND path (the 2.2 ms of head-split
+    # transposes it removes are cheaper than the kernel's in-VMEM lane
+    # splits at short N). At seq-6144 (SA-2.0) the round-4 trace has NHD
+    # at ~78 TF/s ≈ the dh=64 ceiling and profitable. Gate to the long-N
+    # regime; the crossover lies in (1024, 6144).
+    return 4096 <= main <= 16384
 
 
 def _should_use_pallas(q, k, mask) -> bool:

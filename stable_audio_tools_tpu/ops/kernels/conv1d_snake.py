@@ -44,10 +44,22 @@ from .snake import _fwd as _snake_fwd, _horner, _polys
 
 _ENABLED = os.environ.get("SAT_FUSED_SNAKE_CONV", "1") != "0"
 
-_BL = 512
+_BL = 512  # minimum stream block (support checks assume >= this)
 # weights + double-buffered x/dy blocks + f32 accumulators must fit VMEM
-# (~16 MB); 4 MB of bf16 weights leaves comfortable headroom at BL=512
+# (~16 MB); 4 MB of bf16 weights leaves comfortable headroom
 _MAX_W_BYTES = 4 * 1024 * 1024
+
+
+def _pick_bl(ci: int, co: int) -> int:
+    """Stream block length for the fwd/dgrad kernels. Mosaic pays ~2-3 us
+    of per-grid-cell overhead; at BL=512 the 40+ VAE conv calls per step
+    were overhead-dominated (measured 0.6-0.75 ms per call REGARDLESS of
+    shape, ~40 TF/s vs the MXU's ~200). Pick the largest power-of-two block
+    whose double-buffered in/out tiles fit the VMEM budget."""
+    bl = 4096
+    while bl > 512 and bl * (2 * ci + co) * 2 * 2 > 8 * 1024 * 1024:
+        bl //= 2
+    return bl
 
 
 def _snake_f32(xf, a, binv):
@@ -74,7 +86,7 @@ def _snake_window(x0_ref, x1_ref, a, binv, pad_lo, n_x, blk_id):
 
 
 def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d,
-                pad_lo, n_x):
+                pad_lo, n_x, s):
     a = a_ref[...].astype(jnp.float32)
     binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
     sx = _snake_window(x0_ref, x1_ref, a, binv, pad_lo, n_x,
@@ -83,7 +95,7 @@ def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d,
     acc = jnp.zeros((bl, w_ref.shape[-1]), jnp.float32)
     for j in range(k):
         acc += jax.lax.dot_general(
-            jax.lax.slice_in_dim(sx, j * d, j * d + bl, axis=0),
+            jax.lax.slice_in_dim(sx, s + j * d, s + j * d + bl, axis=0),
             w_ref[j],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -93,7 +105,7 @@ def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d,
 
 
 def _bwd_dx_kernel(dy0_ref, dy1_ref, x_ref, wT_ref, a_ref, b_ref,
-                   dx_ref, pa_ref, pb_ref, *, k, d, n_rows):
+                   dx_ref, pa_ref, pb_ref, *, k, d, n_rows, s):
     cos_poly, dcos_poly = _polys()
     a = a_ref[...].astype(jnp.float32)
     binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
@@ -102,7 +114,7 @@ def _bwd_dx_kernel(dy0_ref, dy1_ref, x_ref, wT_ref, a_ref, b_ref,
     acc = jnp.zeros((bl, wT_ref.shape[-1]), jnp.float32)
     for j in range(k):
         acc += jax.lax.dot_general(
-            jax.lax.slice_in_dim(dyw, j * d, j * d + bl, axis=0),
+            jax.lax.slice_in_dim(dyw, s + j * d, s + j * d + bl, axis=0),
             wT_ref[j],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -135,6 +147,15 @@ def _pad_rows(x, lo, total):
     )
 
 
+def _aligned_lo(lo: int):
+    """Round a left row-pad up to the 8-sublane tile so lax.pad is a
+    tile-ALIGNED copy (a 1-3 row shift relayouts the whole tensor: ~14 ms
+    of the round-5 GAN-pair trace). The kernels absorb the surplus as a
+    static in-VMEM window offset s = lo_a - lo (cheap vector shift)."""
+    lo_a = -(-lo // 8) * 8
+    return lo_a, lo_a - lo
+
+
 # ---------------------------------------------------------------------------
 # Weight gradient: dW[j,ci,co] = sum_{b,i} snake(x)[b, j*d + i, ci] dy[b,i,co]
 #
@@ -160,7 +181,7 @@ def _pick_cob(k: int, ci: int, co: int) -> Optional[int]:
     return cob
 
 
-def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d,
+def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d, s,
                  a=None, binv=None, pad_lo=0, n_x=0):
     first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
@@ -179,7 +200,7 @@ def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d,
     bl = dy_ref.shape[1]
     for j in range(k):
         dw_ref[j] += jax.lax.dot_general(
-            jax.lax.slice_in_dim(sx, j * d, j * d + bl, axis=0),
+            jax.lax.slice_in_dim(sx, s + j * d, s + j * d + bl, axis=0),
             dy,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -188,19 +209,25 @@ def _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d,
 
 
 def _bwd_dw_kernel_snake(x0_ref, x1_ref, dy_ref, a_ref, b_ref, dw_ref,
-                         db_ref, *, k, d, pad_lo, n_x):
+                         db_ref, *, k, d, s, pad_lo, n_x):
     a = a_ref[...].astype(jnp.float32)
     binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
-    _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, k=k, d=d,
+    _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, k=k, d=d, s=s,
                  a=a, binv=binv, pad_lo=pad_lo, n_x=n_x)
 
 
-def _bwd_dw_kernel_plain(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d):
-    _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, k=k, d=d)
+def _bwd_dw_kernel_plain(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, *, k, d, s):
+    _bwd_dw_body(x0_ref, x1_ref, dy_ref, dw_ref, db_ref, k=k, d=d, s=s)
 
 
 def _wgrad_bl(ci: int) -> int:
-    # halve the stream block for wide channels to bound the f32 snake temp
+    # larger stream blocks for narrow channels (same per-grid-cell overhead
+    # argument as _pick_bl); the dw accumulator stays resident so the
+    # budget is tighter than the fwd/dgrad kernels'
+    if ci <= 128:
+        return 2048
+    if ci <= 256:
+        return 1024
     return _BL if ci <= 512 else _BL // 2
 
 
@@ -208,7 +235,7 @@ def wgrad_kernel_supported(k: int, ci: int, co: int, d: int,
                            l_out: int) -> bool:
     if not _ENABLED or ci % 128 or co % 128:
         return False
-    if (k - 1) * d > _wgrad_bl(ci):
+    if (k - 1) * d + 7 > _wgrad_bl(ci):
         return False
     return _pick_cob(k, ci, co) is not None and l_out >= 8
 
@@ -221,7 +248,8 @@ def _run_bwd_dw(dy, x, kernel_shape, pre_snake, pad_lo, pad_hi, d, interpret):
     bl = _wgrad_bl(Ci)
     cob = _pick_cob(k, Ci, Co)
     nblk = pl.cdiv(Lout, bl)
-    xp = _pad_rows(x, pad_lo, (nblk + 1) * bl)
+    lo_a, s_off = _aligned_lo(pad_lo)
+    xp = _pad_rows(x, lo_a, (nblk + 1) * bl)
     dyp = _pad_rows(dy, 0, nblk * bl)
     x_specs = [
         pl.BlockSpec((1, bl, Ci), lambda co, b, i: (b, i, 0)),
@@ -239,8 +267,8 @@ def _run_bwd_dw(dy, x, kernel_shape, pre_snake, pad_lo, pad_hi, d, interpret):
     if pre_snake is not None:
         alpha, beta = pre_snake
         dw, db = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel_snake, k=k, d=d,
-                              pad_lo=pad_lo, n_x=L),
+            functools.partial(_bwd_dw_kernel_snake, k=k, d=d, s=s_off,
+                              pad_lo=lo_a, n_x=L),
             grid=(Co // cob, B, nblk),
             in_specs=x_specs + [
                 dy_spec,
@@ -253,7 +281,7 @@ def _run_bwd_dw(dy, x, kernel_shape, pre_snake, pad_lo, pad_hi, d, interpret):
         )(xp, xp, dyp, alpha.reshape(1, Ci), beta.reshape(1, Ci))
     else:
         dw, db = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel_plain, k=k, d=d),
+            functools.partial(_bwd_dw_kernel_plain, k=k, d=d, s=s_off),
             grid=(Co // cob, B, nblk),
             in_specs=x_specs + [dy_spec],
             out_specs=out_specs,
@@ -282,21 +310,24 @@ def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
     k, _, Co = kernel.shape
     E = (k - 1) * d + 1
     Lout = L + pad_lo + pad_hi - E + 1
-    nblk = pl.cdiv(Lout, _BL)
-    xp = _pad_rows(x, pad_lo, (nblk + 1) * _BL)
+    bl = _pick_bl(Ci, Co)
+    nblk = pl.cdiv(Lout, bl)
+    lo_a, s_off = _aligned_lo(pad_lo)
+    xp = _pad_rows(x, lo_a, (nblk + 1) * bl)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, d=d, pad_lo=pad_lo, n_x=L),
+        functools.partial(_fwd_kernel, k=k, d=d, pad_lo=lo_a, n_x=L,
+                          s=s_off),
         grid=(B, nblk),
         in_specs=[
-            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i + 1, 0)),
+            pl.BlockSpec((1, bl, Ci), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bl, Ci), lambda b, i: (b, i + 1, 0)),
             pl.BlockSpec((k, Ci, Co), lambda b, i: (0, 0, 0)),
             pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
             pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
             pl.BlockSpec((1, Co), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, _BL, Co), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, nblk * _BL, Co), x.dtype),
+        out_specs=pl.BlockSpec((1, bl, Co), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nblk * bl, Co), x.dtype),
         interpret=interpret,
     )(xp, xp, kernel, alpha.reshape(1, Ci), beta.reshape(1, Ci),
       bias.reshape(1, Co))
@@ -307,28 +338,30 @@ def _run_bwd_dx(dy, x, kernel, alpha, beta, pad_lo, pad_hi, d, interpret):
     B, L, Ci = x.shape
     k, _, Co = kernel.shape
     E = (k - 1) * d + 1
-    nblk = pl.cdiv(L, _BL)
+    bl = _pick_bl(Ci, Co)
+    nblk = pl.cdiv(L, bl)
     kT = jnp.flip(kernel, 0).transpose(0, 2, 1)  # [k, Co, Ci]
-    dyp = _pad_rows(dy, E - 1 - pad_lo, (nblk + 1) * _BL)
-    xpad = _pad_rows(x, 0, nblk * _BL)
+    lo_a, s_off = _aligned_lo(E - 1 - pad_lo)
+    dyp = _pad_rows(dy, lo_a, (nblk + 1) * bl)
+    xpad = _pad_rows(x, 0, nblk * bl)
     dx, pa, pb = pl.pallas_call(
-        functools.partial(_bwd_dx_kernel, k=k, d=d, n_rows=L),
+        functools.partial(_bwd_dx_kernel, k=k, d=d, n_rows=L, s=s_off),
         grid=(B, nblk),
         in_specs=[
-            pl.BlockSpec((1, _BL, Co), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, _BL, Co), lambda b, i: (b, i + 1, 0)),
-            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bl, Co), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bl, Co), lambda b, i: (b, i + 1, 0)),
+            pl.BlockSpec((1, bl, Ci), lambda b, i: (b, i, 0)),
             pl.BlockSpec((k, Co, Ci), lambda b, i: (0, 0, 0)),
             pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
             pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BL, Ci), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bl, Ci), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, 1, 8, Ci), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, 1, 8, Ci), lambda b, i: (b, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, nblk * _BL, Ci), dy.dtype),
+            jax.ShapeDtypeStruct((B, nblk * bl, Ci), dy.dtype),
             jax.ShapeDtypeStruct((B, nblk, 8, Ci), jnp.float32),
             jax.ShapeDtypeStruct((B, nblk, 8, Ci), jnp.float32),
         ],
@@ -417,7 +450,7 @@ def snake_conv1d_supported(x, kernel, stride: int, dilation: int,
     k, Ci, Co = kernel.shape
     if Ci % 128 or Co % 128:
         return False
-    if (k - 1) * dilation > _BL:
+    if (k - 1) * dilation + 7 > _BL:
         return False
     if k * Ci * Co * 2 > _MAX_W_BYTES:
         return False

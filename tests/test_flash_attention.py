@@ -359,12 +359,19 @@ def test_attention_nhd_dispatches_under_mesh(monkeypatch):
         create_mesh, mesh_program_context)
 
     monkeypatch.setenv("SAT_FORCE_PALLAS_ATTN", "1")
+    # force the gate: the profitability threshold starts at N=4096 (round-5
+    # A/B), but this test is about the mesh shard_map dispatch mechanics
+    monkeypatch.setattr(
+        attn_mod, "_should_use_nhd",
+        lambda n, h, kv_h, dim_heads, causal, prefix_len, mask, window:
+        dim_heads * 2 == 128 and h % 2 == 0 and mask is None
+        and window is None and not prefix_len)
     rng = np.random.RandomState(3)
     B, N, dim, dh = 8, 512, 256, 64  # h=4
     m = attn_mod.Attention(dim=dim, dim_heads=dh, prefix_len=0)
     x = jnp.asarray(rng.randn(B, N, dim).astype(np.float32))
     params = m.init(jax.random.PRNGKey(0), x)
-    ref = m.apply(params, x)  # non-mesh: NHD fires (gate passes at N=512)
+    ref = m.apply(params, x)  # non-mesh: NHD fires (gate forced)
 
     mesh = create_mesh(data=4, model=2)  # local heads 4/2=2: even -> NHD
     with mesh_program_context(mesh):
