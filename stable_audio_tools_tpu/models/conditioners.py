@@ -503,7 +503,12 @@ class T5Conditioner(HostConditioner):
         ids = jnp.asarray(enc["input_ids"], jnp.int32)
         mask = jnp.asarray(enc["attention_mask"], jnp.int32)
         embeddings = self._encode(ids, mask).astype(jnp.float32)
-        return {"embeddings": np.asarray(embeddings), "attention_mask": np.asarray(mask)}
+        # Return the DEVICE array: np.asarray here forced a device->host
+        # transfer of the encoder output, ~75 ms of axon RPC per generate
+        # call (measured round 5 — ~25% of the SA-Open fixed cost). Every
+        # consumer tree_maps jnp.asarray (a no-op for device arrays) or
+        # np.asarray's at its own boundary (pre-encode writers).
+        return {"embeddings": embeddings, "attention_mask": np.asarray(mask)}
 
     def make_module(self):
         return T5ProjModule(self.dim, self.output_dim, self.project_out)
