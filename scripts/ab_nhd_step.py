@@ -1,5 +1,15 @@
 """A/B the head-pair NHD attention dispatch at the SA-Open bench config.
 
+Round-5 recorded results (hard sync, one process per config):
+- seq 1024 (SA-Open): NHD 33.06 vs standard 31.38 ms/step — NHD LOSES;
+  the head-split transposes it removes are cheaper than its in-VMEM lane
+  splits at short N. Gate: ops/attention.py::_should_use_nhd.
+- seq 6144 (SA-2.0, pass 12582912): NHD 316.76 ms/step; the standard
+  BHND path DOES NOT COMPILE at this scale (scoped-VMEM OOM in the
+  prefix-split kernel: 23.49M > 16M) — NHD is the only option, not just
+  the faster one. The disabled arm's compile error is reported, not
+  fatal.
+
 Measures the SAMPLER PER-STEP time (two-point method: steps=N1 vs N2 walls,
 slope = per-step) for NHD enabled vs disabled in ONE process on one chip —
 eliminating run-to-run chip variance that whole-bench A/Bs suffer (±10%).
@@ -86,7 +96,14 @@ def main():
     # bust the generation program cache so the gate is re-read at trace time
     if hasattr(model, "_gen_jit_cache"):
         model._gen_jit_cache.clear()
-    ps_off = per_step("NHD disabled")
+    try:
+        ps_off = per_step("NHD disabled")
+    except Exception as e:  # noqa: BLE001
+        # at seq 6144 the standard BHND prefix-split kernel exceeds scoped
+        # VMEM (23.49M > 16M) and cannot compile — NHD is the only option
+        print(f"NHD disabled: DOES NOT COMPILE at this scale "
+              f"({type(e).__name__}: {str(e)[:200]})")
+        return
     print(f"delta: {1e3*(ps_off - ps_on):+.2f} ms/step "
           f"({'NHD faster' if ps_on < ps_off else 'NHD slower'})")
 

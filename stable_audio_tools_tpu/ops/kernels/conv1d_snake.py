@@ -310,23 +310,32 @@ def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
     k, _, Co = kernel.shape
     E = (k - 1) * d + 1
     Lout = L + pad_lo + pad_hi - E + 1
-    bl = _pick_bl(Ci, Co)
+    plan = _fwd_plan(k, Ci, Co, d, Lout)
+    if plan is None:
+        # direct callers (tests, explicit use) bypass the efficiency gate
+        # in snake_conv1d_supported — run with a minimal valid config
+        cob = _fwd_cob(k, Ci, Co) or Co
+        bl = 256 if (k - 1) * d + 7 <= 256 else _BL
+        plan = (bl, cob)
+    bl, cob = plan
     nblk = pl.cdiv(Lout, bl)
     lo_a, s_off = _aligned_lo(pad_lo)
     xp = _pad_rows(x, lo_a, (nblk + 1) * bl)
+    # co innermost: the x blocks' index map ignores co, so Mosaic keeps
+    # them resident across the co sweep (weights stream instead)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, d=d, pad_lo=lo_a, n_x=L,
                           s=s_off),
-        grid=(B, nblk),
+        grid=(B, nblk, Co // cob),
         in_specs=[
-            pl.BlockSpec((1, bl, Ci), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bl, Ci), lambda b, i: (b, i + 1, 0)),
-            pl.BlockSpec((k, Ci, Co), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, Ci), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, Co), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, bl, Ci), lambda b, i, co: (b, i, 0)),
+            pl.BlockSpec((1, bl, Ci), lambda b, i, co: (b, i + 1, 0)),
+            pl.BlockSpec((k, Ci, cob), lambda b, i, co: (0, 0, co)),
+            pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
+            pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
+            pl.BlockSpec((1, cob), lambda b, i, co: (0, co)),
         ],
-        out_specs=pl.BlockSpec((1, bl, Co), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bl, cob), lambda b, i, co: (b, i, co)),
         out_shape=jax.ShapeDtypeStruct((B, nblk * bl, Co), x.dtype),
         interpret=interpret,
     )(xp, xp, kernel, alpha.reshape(1, Ci), beta.reshape(1, Ci),
@@ -396,8 +405,28 @@ def _snake_conv1d_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, dilation):
 def _snake_conv1d_bwd(pad_lo, pad_hi, dilation, res, dy):
     x, kernel, alpha, beta = res
     k, Ci, Co = kernel.shape
-    dx, dalpha, dbeta = _run_bwd_dx(
-        dy, x, kernel, alpha, beta, pad_lo, pad_hi, dilation, _interpret())
+    if k * Ci * Co * 2 > _MAX_W_BYTES:
+        # big-channel case (the forward swept Co in blocks): the dgrad
+        # kernel would need the full [k, Co, Ci] transposed weights in
+        # VMEM. Fall back to XLA's dgrad (full-lane at these widths) and
+        # chain through the snake's analytic vjp (the fused snake kernel's
+        # own backward — one VMEM pass).
+        from ..activations import snake_beta
+
+        sx, snake_pull = jax.vjp(
+            lambda x_, a_, b_: snake_beta(x_, a_, b_), x,
+            alpha.astype(x.dtype), beta.astype(x.dtype))
+        conv = lambda s_: jax.lax.conv_general_dilated(
+            s_, kernel, window_strides=(1,), padding=[(pad_lo, pad_hi)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        _, conv_pull = jax.vjp(conv, sx)
+        d_sx = conv_pull(dy)[0]
+        dx, dalpha, dbeta = snake_pull(d_sx)
+    else:
+        dx, dalpha, dbeta = _run_bwd_dx(
+            dy, x, kernel, alpha, beta, pad_lo, pad_hi, dilation,
+            _interpret())
     if wgrad_kernel_supported(k, Ci, Co, dilation, dy.shape[1]):
         # one-pass streaming wgrad: snake recomputed in-VMEM, [k,Ci,CoB]
         # f32 accumulator resident across the (batch, length) grid
@@ -439,6 +468,50 @@ def _snake_conv1d_bwd(pad_lo, pad_hi, dilation, res, dy):
 snake_conv1d.defvjp(_snake_conv1d_fwd, _snake_conv1d_bwd)
 
 
+def _fwd_cob(k: int, ci: int, co: int):
+    """Output-channel block for the forward: big-channel convs (7x1024x1024
+    is 14.7 MB of bf16 weights, over the VMEM budget) sweep Co in blocks
+    while the x blocks stay resident. None if no valid split exists."""
+    cob = co
+    while cob > 128 and k * ci * cob * 2 > _MAX_W_BYTES:
+        cob //= 2
+    if k * ci * cob * 2 > _MAX_W_BYTES or co % cob:
+        return None
+    return cob
+
+
+def _fwd_plan(k: int, ci: int, co: int, d: int, l_out: int):
+    """(bl, cob) for the forward, or None if no configuration fits VMEM.
+
+    Budget model (double-buffered): two [bl, ci] bf16 input block refs,
+    the [k, ci, cob] bf16 weight block (streams when co-blocked), the
+    [bl, cob] bf16 output block — within ~14 MB of the 16 MB scoped VMEM.
+    Catches e.g. the s2d-folded strided convs (ci up to 8192), which must
+    keep using the XLA path. Short outputs must roughly fill one block:
+    the deep VAE levels (L=16-64 at 1024-2048 ch) padded up to 512-row
+    blocks cost up to 30x the real FLOPs (measured +6 ms on the GAN pair)
+    — XLA handles tiny-L convs fine."""
+    cob = _fwd_cob(k, ci, co)
+    if cob is None:
+        return None
+
+    # weights double-buffer only when they stream (cob < co); a constant
+    # block index stays single-buffered
+    w_bufs = 2 if cob < co else 1
+    def need(bl):
+        return (2 * bl * ci * 2 * 2 + k * ci * cob * 2 * w_bufs
+                + bl * cob * 2 * 2)
+
+    bl = 4096
+    while bl > 256 and (need(bl) > 14 * 1024 * 1024 or bl > max(l_out, 8)):
+        bl //= 2
+    if need(bl) > 14 * 1024 * 1024 or (k - 1) * d + 7 > bl:
+        return None
+    if 2 * l_out < bl:
+        return None
+    return bl, cob
+
+
 def snake_conv1d_supported(x, kernel, stride: int, dilation: int,
                            groups: int = 1) -> bool:
     """Dispatch gate: TPU backend (or explicit interpret tests), 128-lane
@@ -450,9 +523,13 @@ def snake_conv1d_supported(x, kernel, stride: int, dilation: int,
     k, Ci, Co = kernel.shape
     if Ci % 128 or Co % 128:
         return False
-    if (k - 1) * dilation + 7 > _BL:
-        return False
     if k * Ci * Co * 2 > _MAX_W_BYTES:
+        # Big-channel convs CAN run via the co-swept plan (_fwd_plan), but
+        # measured round-5: XLA beats the co-swept kernel at these shapes
+        # (GAN pair 165.4 -> 168.9 ms with auto-dispatch; SA-Open decode
+        # unchanged). Keep them on the XLA path.
+        return False
+    if _fwd_plan(k, Ci, Co, dilation, x.shape[1]) is None:
         return False
     # degenerate lengths: the pipeline needs at least one full block
     return x.shape[1] >= 8
