@@ -140,3 +140,38 @@ def test_apply_fir_folded_matches_depthwise():
         np.asarray(apply_fir(x, taps2)), np.asarray(naive(x, taps2)),
         atol=2e-5,
     )
+
+
+def test_istft_matches_torch():
+    """ops/stft.py::istft vs torch.istft (torch-normalized and not), plus
+    exact roundtrip through stft_reim_conv — the ADP spectral path's
+    inverse (reference adp.py:1525-1549)."""
+    import torch
+
+    from stable_audio_tools_tpu.ops.stft import istft, stft_reim_conv
+
+    for n_fft, hop, wl, norm in [(1023, 256, 1023, True),
+                                 (512, 128, 512, False),
+                                 (1024, 256, 512, True)]:
+        T = 4096
+        x = np.random.RandomState(0).randn(3, T).astype(np.float32)
+        win = torch.hann_window(wl)
+        st = torch.stft(torch.tensor(x), n_fft=n_fft, hop_length=hop,
+                        win_length=wl, window=win, return_complex=True,
+                        normalized=norm, center=True)
+        bins = n_fft // 2 + 1
+        tre = st.real.numpy().transpose(0, 2, 1)
+        tim = st.imag.numpy().transpose(0, 2, 1)
+        yt = torch.istft(st, n_fft=n_fft, hop_length=hop, win_length=wl,
+                         window=win, normalized=norm, center=True,
+                         length=T).numpy()
+        yo = np.asarray(istft(jnp.asarray(np.concatenate([tre, tim], -1)),
+                              n_fft, hop, wl, length=T, center=True,
+                              torch_normalized=norm))
+        np.testing.assert_allclose(yo, yt, atol=5e-6)
+        # roundtrip through our own forward
+        ours = stft_reim_conv(jnp.asarray(x), n_fft, hop, wl, center=True)
+        scale = n_fft ** -0.5 if norm else 1.0
+        back = np.asarray(istft(ours * scale, n_fft, hop, wl, length=T,
+                                center=True, torch_normalized=norm))
+        np.testing.assert_allclose(back, x, atol=5e-5)
