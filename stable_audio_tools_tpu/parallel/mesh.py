@@ -111,7 +111,15 @@ def replicate_tree(tree, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     """Shard leading (batch) axis over 'data'."""
+    cross_process = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat)
+
     def put(x):
+        if cross_process and isinstance(x, jax.Array):
+            # a committed single-device array (e.g. T5Conditioner.prepare's
+            # device-resident embeddings) can't device_put directly onto a
+            # sharding that spans other processes — hop through the host
+            x = np.asarray(x)
         spec = P("data", *([None] * (np.ndim(x) - 1))) if np.ndim(x) >= 1 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 

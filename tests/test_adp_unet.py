@@ -243,3 +243,32 @@ def test_adp_uncond_1d_factory_train_and_sample():
     )
     assert audio.shape == (1, 2, 128)
     assert np.all(np.isfinite(np.asarray(audio)))
+
+
+def test_use_stft_context_spectral_channels():
+    """use_stft_context=True spectral-encodes the layer-0 context channels
+    (reference adp.py:1169): the UNet consumes [B, ctx*2*bins, frames] at
+    layer 0 and still round-trips to the waveform length."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stable_audio_tools_tpu.models.adp import UNet1d
+
+    m = UNet1d(
+        in_channels=2, channels=16, multipliers=(1, 2), factors=(2,),
+        num_blocks=(1,), attentions=(0, 0), resnet_groups=2,
+        use_context_time=True, context_channels=(1,),
+        use_stft=True, use_stft_context=True, stft_num_fft=16,
+        stft_hop_length=8,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 120), jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(1, 1, 120), jnp.float32)
+    t = jnp.array([0.5], jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x, t, channels_list=[ctx])["params"]
+    out = m.apply({"params": params}, x, t, channels_list=[ctx])
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # the context genuinely enters: different ctx -> different output
+    out2 = m.apply({"params": params}, x, t, channels_list=[2.0 * ctx])
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-6
