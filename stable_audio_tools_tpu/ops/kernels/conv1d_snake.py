@@ -104,6 +104,74 @@ def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+_CARRY = os.environ.get("SAT_SNAKE_CARRY", "0") == "1"
+
+
+def _fwd_kernel_carry(x_ref, w_ref, a_ref, b_ref, bias_ref, o_ref,
+                      carry_ref, *, k, d, pad_lo, n_x, s, n_co):
+    """Single-read forward: the two-BlockSpec halo streams every x block
+    TWICE from HBM (~40% extra traffic). Here the grid runs one extra step
+    per batch row; each step computes output block i-1 from the VMEM-
+    carried previous block + the freshly streamed block i, then saves
+    block i into the carry scratch (TPU grids are sequential, so the
+    carry is race-free). Opt-in via SAT_SNAKE_CARRY=1 pending A/B."""
+    i = pl.program_id(1)
+    co = pl.program_id(2)
+
+    @pl.when(i > 0)
+    def _compute():
+        a = a_ref[...].astype(jnp.float32)
+        binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
+        bl = x_ref.shape[1]
+        xw = jnp.concatenate([carry_ref[...], x_ref[0]],
+                             axis=0).astype(jnp.float32)
+        sx = _snake_f32(xw, a, binv)
+        row = (jax.lax.broadcasted_iota(jnp.int32, xw.shape, 0)
+               + (i - 1) * bl)
+        live = (row >= pad_lo) & (row < pad_lo + n_x)
+        sx = jnp.where(live, sx, jnp.float32(0.0)).astype(x_ref.dtype)
+        acc = jnp.zeros((bl, w_ref.shape[-1]), jnp.float32)
+        for j in range(k):
+            acc += jax.lax.dot_general(
+                jax.lax.slice_in_dim(sx, s + j * d, s + j * d + bl, axis=0),
+                w_ref[j],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc += bias_ref[...].astype(jnp.float32)
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    @pl.when(co == n_co - 1)
+    def _save():
+        carry_ref[...] = x_ref[0]
+
+
+def _run_fwd_carry(xp, kernel, alpha, beta, bias, B, Lout, bl, cob,
+                   nblk, lo_a, s_off, L, k, d, interpret):
+    Ci = xp.shape[-1]
+    Co = kernel.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_carry, k=k, d=d, pad_lo=lo_a, n_x=L,
+                          s=s_off, n_co=Co // cob),
+        grid=(B, nblk + 1, Co // cob),
+        in_specs=[
+            pl.BlockSpec((1, bl, Ci), lambda b, i, co: (b, i, 0)),
+            pl.BlockSpec((k, Ci, cob), lambda b, i, co: (0, 0, co)),
+            pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
+            pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
+            pl.BlockSpec((1, cob), lambda b, i, co: (0, co)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bl, cob),
+            lambda b, i, co: (b, jnp.maximum(i - 1, 0), co)),
+        out_shape=jax.ShapeDtypeStruct((B, nblk * bl, Co), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((bl, Ci), xp.dtype)],
+        interpret=interpret,
+    )(xp, kernel, alpha.reshape(1, Ci), beta.reshape(1, Ci),
+      bias.reshape(1, Co))
+    return out[:, :Lout]
+
+
 def _bwd_dx_kernel(dy0_ref, dy1_ref, x_ref, wT_ref, a_ref, b_ref,
                    dx_ref, pa_ref, pb_ref, *, k, d, n_rows, s):
     cos_poly, dcos_poly = _polys()
@@ -321,6 +389,9 @@ def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
     nblk = pl.cdiv(Lout, bl)
     lo_a, s_off = _aligned_lo(pad_lo)
     xp = _pad_rows(x, lo_a, (nblk + 1) * bl)
+    if _CARRY:
+        return _run_fwd_carry(xp, kernel, alpha, beta, bias, B, Lout, bl,
+                              cob, nblk, lo_a, s_off, L, k, d, interpret)
     # co innermost: the x blocks' index map ignores co, so Mosaic keeps
     # them resident across the co sweep (weights stream instead)
     out = pl.pallas_call(
