@@ -574,7 +574,14 @@ def _fwd_plan(k: int, ci: int, co: int, d: int, l_out: int):
                 + bl * cob * 2 * 2)
 
     bl = 4096
-    while bl > 256 and (need(bl) > 14 * 1024 * 1024 or bl > max(l_out, 8)):
+    # bl*ci <= 512K elements: the empirical scoped-VMEM ceiling. The byte
+    # model below undercounts Mosaic's f32 snake/accumulator temporaries
+    # (measured: k=1 ci=512 bl=2048 allocates 16.34M and fails; bl=1024
+    # compiles) — cap at the largest configuration class proven to compile
+    # across the round's benches.
+    while bl > 256 and (need(bl) > 14 * 1024 * 1024
+                        or bl * ci > 512 * 1024
+                        or bl > max(l_out, 8)):
         bl //= 2
     if need(bl) > 14 * 1024 * 1024 or (k - 1) * d + 7 > bl:
         return None
