@@ -51,11 +51,11 @@ _MAX_W_BYTES = 4 * 1024 * 1024
 
 
 def _pick_bl(ci: int, co: int) -> int:
-    """Stream block length for the fwd/dgrad kernels. Mosaic pays ~2-3 us
-    of per-grid-cell overhead; at BL=512 the 40+ VAE conv calls per step
-    were overhead-dominated (measured 0.6-0.75 ms per call REGARDLESS of
-    shape, ~40 TF/s vs the MXU's ~200). Pick the largest power-of-two block
-    whose double-buffered in/out tiles fit the VMEM budget."""
+    """Stream block length for the dgrad kernel: the largest power-of-two
+    block whose double-buffered in/out tiles fit the VMEM budget. (In-situ
+    the kernels run ~0.29 ms per audio-rate call — near compute-bound;
+    a chained microbench that suggested a 0.6 ms per-call floor was a
+    serial-dependency artifact.)"""
     bl = 4096
     while bl > 512 and bl * (2 * ci + co) * 2 * 2 > 8 * 1024 * 1024:
         bl //= 2
