@@ -242,3 +242,29 @@ def test_big_channel_co_blocked_forward_and_fallback_bwd():
         scale = float(jnp.max(jnp.abs(a_))) + 1e-12
         np.testing.assert_allclose(b_, a_, atol=1e-5 * scale, rtol=1e-4,
                                    err_msg=name)
+
+
+def test_fwd_plan_vmem_decisions_pinned():
+    """Pin _fwd_plan's block/cob choices: the scoped-VMEM ceiling is
+    empirical (k=1 ci=512 bl=2048 allocated 16.34M on v5e and failed to
+    compile; bl=1024 compiles), so planner regressions break real-chip
+    compiles that CPU tests can't catch. Also pin the dispatch gate's
+    rejections."""
+    from stable_audio_tools_tpu.ops.kernels.conv1d_snake import (
+        _MAX_W_BYTES, _fwd_plan)
+
+    # audio-rate narrow channels: big blocks
+    bl, cob = _fwd_plan(7, 128, 128, 1, 32768)
+    assert bl == 4096 and cob == 128
+    # the empirical ceiling: bl*ci must stay <= 512K elements
+    for k, ci, co, l in [(1, 512, 512, 65536), (7, 512, 512, 4096),
+                         (7, 1024, 1024, 8192), (1, 2048, 2048, 1024)]:
+        plan = _fwd_plan(k, ci, co, 1, l)
+        assert plan is not None, (k, ci)
+        assert plan[0] * ci <= 512 * 1024, (k, ci, plan)
+    # s2d-folded strided convs: no VMEM-feasible configuration
+    assert _fwd_plan(2, 8192, 2048, 1, 1024) is None
+    # big-channel weights exceed _MAX_W_BYTES -> cob splits (direct-call
+    # path only; snake_conv1d_supported keeps these on XLA)
+    bl, cob = _fwd_plan(7, 1024, 1024, 1, 8192)
+    assert cob < 1024 and 7 * 1024 * cob * 2 <= _MAX_W_BYTES
