@@ -312,9 +312,12 @@ def _should_use_nhd(n, h, kv_h, dim_heads, causal, prefix_len, mask,
     # SLOWER than the transpose+BHND path (the 2.2 ms of head-split
     # transposes it removes are cheaper than the kernel's in-VMEM lane
     # splits at short N). At seq-6144 (SA-2.0) the round-4 trace has NHD
-    # at ~78 TF/s ≈ the dh=64 ceiling and profitable. Gate to the long-N
-    # regime; the crossover lies in (1024, 6144).
-    return 4096 <= main <= 16384
+    # at ~78 TF/s ≈ the dh=64 ceiling and profitable — and the standard
+    # prefix-split kernel DOES NOT COMPILE there (scoped VMEM 23.49M >
+    # 16M, scaling ~linearly with N: it would graze the ceiling near
+    # main ≈ 4100). Gate to the long-N regime with compile-safety margin;
+    # the perf crossover lies in (1024, 6144).
+    return 3584 <= main <= 16384
 
 
 def _should_use_pallas(q, k, mask) -> bool:
