@@ -40,9 +40,11 @@ def nlc_to_nct(x):
     return jnp.swapaxes(x, 1, 2)
 
 
-def act_then_conv(act: str, antialias: bool, channels: int, x, conv):
+def act_then_conv(act: str, antialias: bool, channels: int, x, conv,
+                  residual=None):
     """activation → conv, fusing a snake activation into the conv's VMEM
-    pass (ops/kernels/conv1d_snake.py) where the kernel supports it.
+    pass (ops/kernels/conv1d_snake.py) where the kernel supports it;
+    `residual` additionally fuses a trailing skip add into the same pass.
 
     `conv` is an already-constructed (WN)Conv1d / WNConvTranspose1d module.
     Module construction order — and therefore every parameter path — is
@@ -50,8 +52,17 @@ def act_then_conv(act: str, antialias: bool, channels: int, x, conv):
     """
     act_mod = get_activation(act, antialias, channels)
     if isinstance(act_mod, SnakeBeta):
-        return conv(x, pre_snake=act_mod(return_params=True, dtype=x.dtype))
-    return conv(act_mod(x))
+        try:
+            return conv(x, pre_snake=act_mod(return_params=True,
+                                             dtype=x.dtype),
+                        residual=residual)
+        except TypeError:
+            # conv modules without residual support (transposed)
+            out = conv(x, pre_snake=act_mod(return_params=True,
+                                            dtype=x.dtype))
+            return out if residual is None else out + residual
+    out = conv(act_mod(x))
+    return out if residual is None else out + residual
 
 
 class ResidualUnit(nn.Module):
@@ -69,10 +80,11 @@ class ResidualUnit(nn.Module):
             features=self.out_channels, kernel_size=7, dilation=self.dilation,
             padding=padding, name="conv1",
         ))
-        x = act_then_conv(act, self.antialias, self.out_channels, x,
-                          WNConv1d(features=self.out_channels, kernel_size=1,
-                                   name="conv2"))
-        return x + res
+        # the skip add is fused into conv2's Pallas output pass
+        return act_then_conv(act, self.antialias, self.out_channels, x,
+                             WNConv1d(features=self.out_channels,
+                                      kernel_size=1, name="conv2"),
+                             residual=res)
 
 
 class EncoderBlock(nn.Module):

@@ -154,6 +154,7 @@ def conv1d(
     dilation: int = 1,
     groups: int = 1,
     pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
+    residual: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Functional NLC conv1d with torch-style integer padding.
 
@@ -161,28 +162,41 @@ def conv1d(
     the conv (one VMEM pass, ops/kernels/conv1d_snake.py) where supported;
     otherwise the activation is applied as a separate op. Exact because
     snake(0) = 0 commutes with the conv zero padding.
+    residual (same shape as the output) fuses a trailing `+ residual` into
+    the kernel's output pass where supported — the codec ResidualUnit's
+    skip add was a separate audio-rate HBM pass otherwise.
     """
     if (
         _DENSE_STRIDED and stride > 1 and dilation == 1 and groups == 1
         and isinstance(padding, int)
     ):
-        return conv1d_strided_s2d(x, kernel, bias, stride=stride,
-                                  padding=padding, pre_snake=pre_snake)
+        out = conv1d_strided_s2d(x, kernel, bias, stride=stride,
+                                 padding=padding, pre_snake=pre_snake)
+        return out if residual is None else out + residual
     if pre_snake is not None:
-        from .kernels.conv1d_snake import snake_conv1d, snake_conv1d_supported
+        from .kernels.conv1d_snake import (
+            snake_conv1d, snake_conv1d_res, snake_conv1d_supported)
 
         alpha, beta = pre_snake
         if (snake_conv1d_supported(x, kernel, stride, dilation, groups)
                 and isinstance(padding, int)):
             b = bias if bias is not None else jnp.zeros(
                 (kernel.shape[-1],), x.dtype)
-            return snake_conv1d(x, kernel, b, alpha, beta,
-                                padding, padding, dilation)
+            k = kernel.shape[0]
+            l_out = x.shape[1] + 2 * padding - ((k - 1) * dilation + 1) + 1
+            if (residual is not None
+                    and residual.shape == (x.shape[0], l_out,
+                                           kernel.shape[-1])):
+                return snake_conv1d_res(x, kernel, b, alpha, beta, residual,
+                                        padding, padding, dilation)
+            out = snake_conv1d(x, kernel, b, alpha, beta,
+                               padding, padding, dilation)
+            return out if residual is None else out + residual
         from .activations import snake_beta
 
         x = snake_beta(x, alpha, beta)
         return conv1d(x, kernel, bias, stride=stride, padding=padding,
-                      dilation=dilation, groups=groups)
+                      dilation=dilation, groups=groups, residual=residual)
     if isinstance(padding, int):
         pad = [(padding, padding)]
     elif padding == "same":
@@ -201,7 +215,7 @@ def conv1d(
         out = _conv1d_s1(x, kernel, pad[0][0], pad[0][1], dilation)
         if bias is not None:
             out = out + bias
-        return out
+        return out if residual is None else out + residual
 
     out = jax.lax.conv_general_dilated(
         x,
@@ -419,6 +433,7 @@ class WNConv1d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array,
                  pre_snake: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 residual: Optional[jax.Array] = None,
                  ) -> jax.Array:
         in_ch = x.shape[-1]
         shape = (self.kernel_size, in_ch, self.features)
@@ -443,6 +458,8 @@ class WNConv1d(nn.Module):
         dtype = self.dtype or x.dtype
         if pre_snake is not None:
             pre_snake = tuple(p.astype(dtype) for p in pre_snake)
+        if residual is not None:
+            residual = residual.astype(dtype)
         return conv1d(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -451,6 +468,7 @@ class WNConv1d(nn.Module):
             padding=self.padding,
             dilation=self.dilation,
             pre_snake=pre_snake,
+            residual=residual,
         )
 
 

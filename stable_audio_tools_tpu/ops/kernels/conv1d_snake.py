@@ -104,6 +104,30 @@ def _fwd_kernel(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, o_ref, *, k, d,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _fwd_kernel_res(x0_ref, x1_ref, w_ref, a_ref, b_ref, bias_ref, res_ref,
+                    o_ref, *, k, d, pad_lo, n_x, s):
+    """_fwd_kernel + fused residual epilogue: o = conv(snake(x)) + res.
+    Saves the separate audio-rate residual-add HBM pass of every codec
+    ResidualUnit (measured ~2.4 ms per [1,2M,128] add in the SA-Open
+    decode trace; the Pallas call boundary kept XLA from fusing it)."""
+    a = a_ref[...].astype(jnp.float32)
+    binv = 1.0 / (b_ref[...].astype(jnp.float32) + 1e-9)
+    sx = _snake_window(x0_ref, x1_ref, a, binv, pad_lo, n_x,
+                       pl.program_id(1))
+    bl = x0_ref.shape[1]
+    acc = jnp.zeros((bl, w_ref.shape[-1]), jnp.float32)
+    for j in range(k):
+        acc += jax.lax.dot_general(
+            jax.lax.slice_in_dim(sx, s + j * d, s + j * d + bl, axis=0),
+            w_ref[j],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc += bias_ref[...].astype(jnp.float32)
+    acc += res_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 _CARRY = os.environ.get("SAT_SNAKE_CARRY", "0") == "1"
 
 
@@ -373,7 +397,8 @@ def conv1d_wgrad(dy, x, kernel_shape, pad_lo, pad_hi, dilation,
     return dw
 
 
-def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
+def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret,
+             residual=None):
     B, L, Ci = x.shape
     k, _, Co = kernel.shape
     E = (k - 1) * d + 1
@@ -389,28 +414,35 @@ def _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, d, interpret):
     nblk = pl.cdiv(Lout, bl)
     lo_a, s_off = _aligned_lo(pad_lo)
     xp = _pad_rows(x, lo_a, (nblk + 1) * bl)
-    if _CARRY:
+    if _CARRY and residual is None:
         return _run_fwd_carry(xp, kernel, alpha, beta, bias, B, Lout, bl,
                               cob, nblk, lo_a, s_off, L, k, d, interpret)
     # co innermost: the x blocks' index map ignores co, so Mosaic keeps
     # them resident across the co sweep (weights stream instead)
+    in_specs = [
+        pl.BlockSpec((1, bl, Ci), lambda b, i, co: (b, i, 0)),
+        pl.BlockSpec((1, bl, Ci), lambda b, i, co: (b, i + 1, 0)),
+        pl.BlockSpec((k, Ci, cob), lambda b, i, co: (0, 0, co)),
+        pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
+        pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
+        pl.BlockSpec((1, cob), lambda b, i, co: (0, co)),
+    ]
+    operands = [xp, xp, kernel, alpha.reshape(1, Ci), beta.reshape(1, Ci),
+                bias.reshape(1, Co)]
+    kern = _fwd_kernel
+    if residual is not None:
+        kern = _fwd_kernel_res
+        in_specs.append(
+            pl.BlockSpec((1, bl, cob), lambda b, i, co: (b, i, co)))
+        operands.append(_pad_rows(residual, 0, nblk * bl))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, d=d, pad_lo=lo_a, n_x=L,
-                          s=s_off),
+        functools.partial(kern, k=k, d=d, pad_lo=lo_a, n_x=L, s=s_off),
         grid=(B, nblk, Co // cob),
-        in_specs=[
-            pl.BlockSpec((1, bl, Ci), lambda b, i, co: (b, i, 0)),
-            pl.BlockSpec((1, bl, Ci), lambda b, i, co: (b, i + 1, 0)),
-            pl.BlockSpec((k, Ci, cob), lambda b, i, co: (0, 0, co)),
-            pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
-            pl.BlockSpec((1, Ci), lambda b, i, co: (0, 0)),
-            pl.BlockSpec((1, cob), lambda b, i, co: (0, co)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bl, cob), lambda b, i, co: (b, i, co)),
         out_shape=jax.ShapeDtypeStruct((B, nblk * bl, Co), x.dtype),
         interpret=interpret,
-    )(xp, xp, kernel, alpha.reshape(1, Ci), beta.reshape(1, Ci),
-      bias.reshape(1, Co))
+    )(*operands)
     return out[:, :Lout]
 
 
@@ -537,6 +569,37 @@ def _snake_conv1d_bwd(pad_lo, pad_hi, dilation, res, dy):
 
 
 snake_conv1d.defvjp(_snake_conv1d_fwd, _snake_conv1d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def snake_conv1d_res(x, kernel, bias, alpha, beta, residual,
+                     pad_lo, pad_hi, dilation):
+    """snake_conv1d with a fused residual epilogue:
+    conv1d(snake_beta(x, alpha, beta), kernel) + bias + residual.
+    residual: [B, Lout, Co]. The add rides the kernel's VMEM output pass
+    (the codec ResidualUnit's `h + x` was a separate audio-rate HBM pass).
+    """
+    return _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, dilation,
+                    _interpret(), residual=residual)
+
+
+def _snake_conv1d_res_fwd(x, kernel, bias, alpha, beta, residual,
+                          pad_lo, pad_hi, dilation):
+    out = _run_fwd(x, kernel, bias, alpha, beta, pad_lo, pad_hi, dilation,
+                   _interpret(), residual=residual)
+    # zero-size carrier pins the residual's dtype (a raw np.dtype is not a
+    # valid pytree leaf)
+    return out, (x, kernel, alpha, beta, residual[:0])
+
+
+def _snake_conv1d_res_bwd(pad_lo, pad_hi, dilation, saved, dy):
+    x, kernel, alpha, beta, res_proto = saved
+    dx, dW, db, dalpha, dbeta = _snake_conv1d_bwd(
+        pad_lo, pad_hi, dilation, (x, kernel, alpha, beta), dy)
+    return dx, dW, db, dalpha, dbeta, dy.astype(res_proto.dtype)
+
+
+snake_conv1d_res.defvjp(_snake_conv1d_res_fwd, _snake_conv1d_res_bwd)
 
 
 def _fwd_cob(k: int, ci: int, co: int):

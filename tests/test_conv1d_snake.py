@@ -268,3 +268,34 @@ def test_fwd_plan_vmem_decisions_pinned():
     # path only; snake_conv1d_supported keeps these on XLA)
     bl, cob = _fwd_plan(7, 1024, 1024, 1, 8192)
     assert cob < 1024 and 7 * 1024 * cob * 2 <= _MAX_W_BYTES
+
+
+def test_residual_epilogue_matches_unfused():
+    """snake_conv1d_res == conv1d(snake(x)) + bias + residual, values and
+    all grads (the codec ResidualUnit's skip add, fused round 5)."""
+    from stable_audio_tools_tpu.ops.kernels.conv1d_snake import (
+        snake_conv1d_res)
+
+    rng = np.random.default_rng(21)
+    x, w, b, alpha, beta = _mk(rng, 2, 700, 128, 128, 7)
+    res = jnp.asarray(rng.standard_normal((2, 700, 128)), jnp.float32)
+    ref = conv1d(snake_beta(x, alpha, beta), w, b, padding=3) + res
+    got = snake_conv1d_res(x, w, b, alpha, beta, res, 3, 3, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def loss_ref(x, w, b, a, be, r):
+        return jnp.sum(jnp.sin(conv1d(snake_beta(x, a, be), w, b,
+                                      padding=3) + r))
+
+    def loss_got(x, w, b, a, be, r):
+        return jnp.sum(jnp.sin(snake_conv1d_res(x, w, b, a, be, r, 3, 3, 1)))
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(x, w, b, alpha, beta, res)
+    gg = jax.grad(loss_got, argnums=tuple(range(6)))(x, w, b, alpha, beta, res)
+    for name, a_, b_ in zip(["dx", "dW", "db", "dalpha", "dbeta", "dres"],
+                            gr, gg):
+        scale = float(jnp.max(jnp.abs(a_))) + 1e-12
+        # dres = cos(y): inherits the forward's f32 reduction-order diff
+        atol = (3e-5 if name == "dres" else 2e-6) * scale
+        np.testing.assert_allclose(b_, a_, atol=atol, rtol=1e-5,
+                                   err_msg=name)
